@@ -1,0 +1,133 @@
+"""Analyzer chains, registered by name — the user-extension surface the
+reference exposes through the schema's ``indexing.tokenizer`` field
+(``/root/reference/test/lib/fixtures.js:23`` uses ``en_stem`` everywhere).
+
+Chains (tantivy-0.18 semantics, SURVEY.md §8.1):
+
+- ``raw``:      whole field value = one token, no filtering.
+- ``default``:  SimpleTokenizer -> RemoveLong(40 bytes) -> LowerCase.
+- ``en_stem``:  ``default`` + Snowball English (Porter2) stemming.
+
+SimpleTokenizer: a token is a maximal run of Unicode-alphanumeric
+characters (Rust ``char::is_alphanumeric`` = categories L* + Nd/Nl/No);
+Python's ``[^\\W_]`` with re.UNICODE matches the same set. Positions are
+token ordinals; filters preserve ordinals. RemoveLong drops tokens whose
+UTF-8 byte length is >= 40 (strict ``len < 40`` keeps).
+
+The same chain runs at query time (so ``'mundo'`` matches the stemmed
+index of "Ola mundo!" — ``/root/reference/test/basic.js:38-41``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from rayfts.analysis import porter2
+
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_REMOVE_LONG_BYTES = 40
+
+# DuckDB/RE2 equivalent of _TOKEN_RE for oracle SQL generation.
+TOKEN_RE_SQL = r"[\p{L}\p{N}]+"
+
+
+@dataclass(frozen=True)
+class AnalyzerSpec:
+    """Serializable description of a chain (goes into the index manifest)."""
+
+    name: str
+    lowercase: bool
+    remove_long: int | None
+    stemmer: str | None  # None or "english"
+    raw: bool = False
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name, "lowercase": self.lowercase,
+            "remove_long": self.remove_long, "stemmer": self.stemmer,
+            "raw": self.raw,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "AnalyzerSpec":
+        return AnalyzerSpec(
+            name=d["name"], lowercase=d["lowercase"],
+            remove_long=d["remove_long"], stemmer=d["stemmer"],
+            raw=d.get("raw", False),
+        )
+
+
+_REGISTRY: dict[str, AnalyzerSpec] = {
+    "raw": AnalyzerSpec("raw", lowercase=False, remove_long=None, stemmer=None, raw=True),
+    "default": AnalyzerSpec("default", lowercase=True, remove_long=_REMOVE_LONG_BYTES, stemmer=None),
+    "en_stem": AnalyzerSpec("en_stem", lowercase=True, remove_long=_REMOVE_LONG_BYTES, stemmer="english"),
+    "whitespace": AnalyzerSpec("whitespace", lowercase=False, remove_long=None, stemmer=None),
+}
+
+
+def register_analyzer(spec: AnalyzerSpec) -> None:
+    """Extension hook mirroring tantivy's analyzer registry."""
+    _REGISTRY[spec.name] = spec
+
+
+def get_spec(name: str) -> AnalyzerSpec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown analyzer {name!r}; registered: {sorted(_REGISTRY)}") from None
+
+
+class Analyzer:
+    """Callable chain with a per-instance stem cache.
+
+    One ``Analyzer`` lives per Ray actor / task-worker process (built in
+    ``__init__`` of the stage class, not per batch); the stem cache makes
+    Porter2 amortized O(1) per token on Zipfian vocabularies.
+    """
+
+    def __init__(self, spec: AnalyzerSpec | str):
+        self.spec = get_spec(spec) if isinstance(spec, str) else spec
+        self._stem_cache: dict[str, str] = {}
+
+    def tokens(self, text: str) -> list[str]:
+        """Analyzed tokens, position = list index (dropped tokens removed;
+        ordinals are post-tokenization, filters keep ordinals — so drops
+        DO consume a position, mirrored by returning '' placeholders from
+        :meth:`tokens_with_holes` when positions matter)."""
+        toks, _ = self.tokens_positions(text)
+        return toks
+
+    def tokens_positions(self, text: str) -> tuple[list[str], list[int]]:
+        """(tokens, positions). Positions are token ordinals assigned by the
+        tokenizer; the RemoveLong filter removes tokens but preserves the
+        ordinals of survivors (tantivy filter semantics)."""
+        if text is None:
+            return [], []
+        spec = self.spec
+        if spec.raw:
+            return ([text], [0]) if text else ([], [])
+        if spec.name == "whitespace":
+            raw = text.split()
+        else:
+            raw = _TOKEN_RE.findall(text)
+        out_toks: list[str] = []
+        out_pos: list[int] = []
+        cache = self._stem_cache
+        stemming = spec.stemmer is not None
+        limit = spec.remove_long
+        lower = spec.lowercase
+        for pos, tok in enumerate(raw):
+            if limit is not None and len(tok.encode("utf-8")) >= limit:
+                continue
+            if lower:
+                tok = tok.lower()
+            if stemming:
+                st = cache.get(tok)
+                if st is None:
+                    st = porter2.stem(tok)
+                    cache[tok] = st
+                tok = st
+            out_toks.append(tok)
+            out_pos.append(pos)
+        return out_toks, out_pos

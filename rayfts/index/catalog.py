@@ -1,0 +1,161 @@
+"""IndexCatalog: a root directory holding many named indexes — the
+Ray-native equivalent of the reference's catalog
+(``/root/reference/src-rust/index.rs:18-21``: base dir -> named index
+subdirectories; startup scan treats every subdir with a meta.json as an
+index, ``index.rs:49-87``).
+
+DDL surface (reference RPC methods, ``main.rs:34-43``):
+create_index, create_ram_index (in-memory, tests), index_exists,
+delete_index, plus the JS conveniences read_meta/segment_info
+(``catalog.js:67-100``) and the distributed-build primitive
+add_segments (``index.rs:286-324``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+
+from rayfts.codec.fieldnorm import FieldNormCodec
+from rayfts.index import manifest as mf
+from rayfts.index.schema import IndexSchema
+from rayfts.index.segment import SegmentInfo, build_segment
+from rayfts.query.searcher import Searcher
+
+
+class Index:
+    """Handle to one named index (reference ``IndexHandle``,
+    ``index.rs:149-155``): lazily-built searcher, cached per handle."""
+
+    def __init__(self, catalog: "IndexCatalog", name: str):
+        self.catalog = catalog
+        self.name = name
+        self.path = os.path.join(catalog.root, name)
+        self._searcher: Searcher | None = None
+        self._searcher_version: int = -1
+
+    @property
+    def manifest(self) -> mf.Manifest:
+        return mf.read_manifest(self.path)
+
+    def searcher(self) -> Searcher:
+        """Reload-on-commit: a new manifest version invalidates the cached
+        searcher (reference ``ReloadPolicy::OnCommit``, ``index.rs:219``)."""
+        m = self.manifest
+        if self._searcher is None or m.version != self._searcher_version:
+            self._searcher = Searcher(self.path, manifest=m)
+            self._searcher_version = m.version
+        return self._searcher
+
+    # -- write path ----------------------------------------------------
+    def add_documents(self, docs: list[dict] | pa.Table) -> SegmentInfo:
+        """Local (non-Ray) ingest convenience: one call = one new committed
+        segment, mirroring the reference's one-commit-per-batch semantics
+        (``index.rs:186-191``). Unknown fields are dropped (with the same
+        tolerance as ``index.rs:176-179``); array values are multi-valued
+        fields. For bulk builds use ``rayfts.index.build.build_index``."""
+        m = self.manifest
+        schema = m.schema
+        if isinstance(docs, pa.Table):
+            table = docs
+        else:
+            known = {f.name for f in schema.fields}
+            norm = [{k: v for k, v in d.items() if k in known} for d in docs]
+            # flatten nothing: list values become pa list columns (the
+            # multi-valued model, catalog.js:131-144 -> pa.list_)
+            table = pa.Table.from_pylist(norm)
+        seg_id = f"seg-{uuid.uuid4().hex[:12]}"
+        info = build_segment(
+            table,
+            schema,
+            seg_id,
+            mf.segment_path(self.path, seg_id),
+            fieldnorm_codec=self.catalog.fieldnorm_codec,
+            lineage={"source": "add_documents", "rows": table.num_rows},
+        )
+        m.add_segments([info])
+        mf.write_manifest(self.path, m)
+        return info
+
+    def add_segments(self, infos: list[SegmentInfo]) -> None:
+        """Register segments built elsewhere (their directories must already
+        sit under this index's segments/ dir) — metadata-only commit, the
+        reference's scale-out primitive (``test/segments.js:27-40``)."""
+        m = self.manifest
+        m.add_segments(infos)
+        mf.write_manifest(self.path, m)
+
+    def segment_info(self) -> list[dict]:
+        return [s.to_json() for s in self.manifest.segments]
+
+    # -- read path -----------------------------------------------------
+    def query(self, query_string: str, limit: int = 10, snippet_field: str | None = None):
+        return self.searcher().query_string(query_string, limit, snippet_field)
+
+    def query_json(self, search: dict):
+        return self.searcher().search(search)
+
+
+class IndexCatalog:
+    def __init__(self, root: str, fieldnorm_codec: str = FieldNormCodec.TANTIVY_LIKE):
+        self.root = root
+        self.fieldnorm_codec = fieldnorm_codec
+        os.makedirs(root, exist_ok=True)
+        self._handles: dict[str, Index] = {}
+
+    def create_index(self, name: str, schema: IndexSchema | list | str) -> Index:
+        if not isinstance(schema, IndexSchema):
+            schema = IndexSchema.from_json(schema)
+        path = os.path.join(self.root, name)
+        if mf.manifest_exists(path):
+            raise ValueError(f"index {name!r} already exists")
+        os.makedirs(mf.segments_dir(path), exist_ok=True)
+        mf.write_manifest(path, mf.Manifest(name=name, schema=schema))
+        return self.open(name)
+
+    def index_exists(self, name: str) -> bool:
+        return mf.manifest_exists(os.path.join(self.root, name))
+
+    def delete_index(self, name: str) -> None:
+        path = os.path.join(self.root, name)
+        if not mf.manifest_exists(path):
+            raise KeyError(f"no index {name!r}")
+        shutil.rmtree(path)
+        self._handles.pop(name, None)
+
+    def list_indexes(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.root)):
+            if mf.manifest_exists(os.path.join(self.root, entry)):
+                out.append(entry)
+        return out
+
+    def open(self, name: str) -> Index:
+        if not self.index_exists(name):
+            raise KeyError(f"no index {name!r}")
+        h = self._handles.get(name)
+        if h is None:
+            h = self._handles[name] = Index(self, name)
+        return h
+
+    def query_multi(self, names: list[str], query_string: str, limit: int = 100):
+        """Same string query against N indexes; fixed limit 100 in the
+        reference (``index.rs:131-146``); results keyed by index name,
+        NOT globally merged."""
+        return [(n, self.open(n).query(query_string, limit)) for n in names]
+
+
+def create_ram_index(schema: IndexSchema, docs: list[dict], tmp_root: str | None = None) -> Index:
+    """In-memory-ish index for tests (reference ``create_ram_index``,
+    ``index.rs:112-117``): a throwaway catalog under a temp dir."""
+    import tempfile
+
+    root = tmp_root or tempfile.mkdtemp(prefix="rayfts-ram-")
+    cat = IndexCatalog(root)
+    idx = cat.create_index("ram", schema)
+    if docs:
+        idx.add_documents(docs)
+    return idx

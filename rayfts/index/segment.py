@@ -1,0 +1,402 @@
+"""Immutable index segments: build (invert) and read.
+
+A segment is the unit of parallel index construction and of checkpoint /
+resume — the Ray-native analogue of a tantivy segment (6 files + an
+entry in meta.json, ``/root/reference/src-nodejs/catalog.js:5-13``).
+One segment directory holds:
+
+    terms.parquet   term dictionary, sorted by (field, term):
+                    field, term, df, total_tf, post_off, post_len,
+                    pos_off, pos_len
+    postings.bin    concatenated encoded posting lists (rayfts.codec.postings)
+    positions.bin   concatenated varint position-delta streams, one span
+                    per term (within a span: runs of ``tf`` deltas per doc,
+                    run starts absolute, rest diffs)
+    norms.npz       per indexed field: fieldnorm id per local docid
+    store.parquet   stored fields; row index == local docid
+    segment.json    num_docs, per-field token totals, lineage, metrics
+
+The inversion is fully vectorized: tokenize per doc (C-regex + cached
+Porter2), then ``pandas.factorize`` + ``numpy.lexsort`` to group
+(term, doc) pairs — no Python loop over rows in the hot path other than
+the tokenizer's per-document regex findall.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rayfts.analysis.analyzer import Analyzer
+from rayfts.codec.fieldnorm import FieldNormCodec
+from rayfts.codec.postings import PostingList, decode_postings, encode_postings
+from rayfts.codec.varint import decode_varints, encode_varints
+from rayfts.index.schema import IndexSchema, TEXT
+
+TERMS_FILE = "terms.parquet"
+POSTINGS_FILE = "postings.bin"
+POSITIONS_FILE = "positions.bin"
+NORMS_FILE = "norms.npz"
+STORE_FILE = "store.parquet"
+META_FILE = "segment.json"
+
+
+@dataclass
+class SegmentInfo:
+    segment_id: str
+    num_docs: int
+    field_stats: dict  # field -> {"total_tokens": int, "num_terms": int}
+    lineage: dict = dc_field(default_factory=dict)
+    metrics: dict = dc_field(default_factory=dict)
+    fieldnorm_codec: str = FieldNormCodec.TANTIVY_LIKE
+
+    def to_json(self) -> dict:
+        return {
+            "segment_id": self.segment_id,
+            "num_docs": self.num_docs,
+            "field_stats": self.field_stats,
+            "lineage": self.lineage,
+            "metrics": self.metrics,
+            "fieldnorm_codec": self.fieldnorm_codec,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "SegmentInfo":
+        return SegmentInfo(
+            segment_id=d["segment_id"], num_docs=d["num_docs"],
+            field_stats=d["field_stats"], lineage=d.get("lineage", {}),
+            metrics=d.get("metrics", {}),
+            fieldnorm_codec=d.get("fieldnorm_codec", FieldNormCodec.TANTIVY_LIKE),
+        )
+
+
+def _encode_position_stream(pos_sorted: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode a concatenated position stream: absolute at run starts
+    (one run per (term, doc) posting), diffs elsewhere. Returns uint64."""
+    deltas = np.empty(pos_sorted.size, dtype=np.int64)
+    deltas[0] = pos_sorted[0]
+    deltas[1:] = pos_sorted[1:] - pos_sorted[:-1]
+    deltas[run_starts] = pos_sorted[run_starts]
+    return deltas.astype(np.uint64)
+
+
+def build_segment(
+    table: pa.Table,
+    schema: IndexSchema,
+    segment_id: str,
+    out_dir: str,
+    fieldnorm_codec: str = FieldNormCodec.TANTIVY_LIKE,
+    order_by: list[str] | None = None,
+    lineage: dict | None = None,
+    analyzers: dict[str, Analyzer] | None = None,
+) -> SegmentInfo:
+    """Invert one partition of documents into a segment on disk.
+
+    Writes to ``out_dir + '.tmp'`` then renames — the idempotent,
+    resumable write pattern (a crashed task leaves no committed segment;
+    mirrors the reference's atomic ``meta.json`` commit discipline,
+    ``index.rs:331-336``).
+    """
+    t0 = time.time()
+    n = table.num_rows
+    if order_by:
+        idx = pa.compute.sort_indices(
+            table, sort_keys=[(c, "ascending") for c in order_by]
+        )
+        table = table.take(idx)
+    analyzers = analyzers or {}
+    codec = FieldNormCodec(fieldnorm_codec)
+
+    tmp_dir = out_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    term_rows = {
+        "field": [], "term": [], "df": [], "total_tf": [],
+        "post_off": [], "post_len": [], "pos_off": [], "pos_len": [],
+    }
+    postings_chunks: list[bytes] = []
+    positions_chunks: list[bytes] = []
+    post_off = 0
+    pos_off = 0
+    norms_out: dict[str, np.ndarray] = {}
+    field_stats: dict[str, dict] = {}
+    total_token_count = 0
+
+    for fdef in schema.indexed_fields:
+        analyzer = analyzers.get(fdef.tokenizer)
+        if analyzer is None:
+            analyzer = analyzers[fdef.tokenizer] = Analyzer(fdef.tokenizer)
+        if fdef.type == TEXT:
+            texts = table[fdef.name].to_pylist() if fdef.name in table.column_names else [None] * n
+        else:
+            # numeric fields index their canonical string form as a raw term
+            texts = [None if v is None else str(v) for v in table[fdef.name].to_pylist()]
+
+        tok_lists: list[list[str]] = []
+        pos_lists: list[list[int]] = []
+        for txt in texts:
+            toks, poss = analyzer.tokens_positions(txt)
+            tok_lists.append(toks)
+            pos_lists.append(poss)
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        norms_out[fdef.name] = codec.encode(counts)
+        total_tokens = int(counts.sum())
+        total_token_count += total_tokens
+
+        if total_tokens == 0:
+            field_stats[fdef.name] = {"total_tokens": 0, "num_terms": 0}
+            continue
+
+        all_toks = np.empty(total_tokens, dtype=object)
+        k = 0
+        for toks in tok_lists:
+            if toks:
+                all_toks[k : k + len(toks)] = toks
+                k += len(toks)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        positions = np.fromiter(
+            (p for pl in pos_lists for p in pl), dtype=np.int64, count=total_tokens
+        )
+
+        codes, uniques = pd.factorize(all_toks, sort=True)
+        order = np.lexsort((positions, doc_idx, codes))
+        s_codes = codes[order]
+        s_docs = doc_idx[order]
+        s_pos = positions[order]
+
+        # posting boundaries: change of (code, doc)
+        change = np.empty(total_tokens, dtype=bool)
+        change[0] = True
+        change[1:] = (s_codes[1:] != s_codes[:-1]) | (s_docs[1:] != s_docs[:-1])
+        run_starts = np.flatnonzero(change)
+        run_ends = np.append(run_starts[1:], total_tokens)
+        tfs = (run_ends - run_starts).astype(np.uint32)
+        p_docs = s_docs[run_starts].astype(np.uint32)
+        p_codes = s_codes[run_starts]
+
+        # term boundaries over the posting runs
+        tchange = np.empty(run_starts.size, dtype=bool)
+        tchange[0] = True
+        tchange[1:] = p_codes[1:] != p_codes[:-1]
+        t_starts = np.flatnonzero(tchange)
+        t_ends = np.append(t_starts[1:], run_starts.size)
+
+        norm_ids_field = norms_out[fdef.name]
+        if codec.kind == FieldNormCodec.TANTIVY_LIKE:
+            p_norms = norm_ids_field[p_docs]
+        else:
+            p_norms = np.zeros(p_docs.size, dtype=np.uint8)
+
+        want_positions = fdef.has_positions
+        if want_positions:
+            pos_deltas = _encode_position_stream(s_pos, run_starts)
+        uniq_list = uniques.tolist()
+
+        for ti in range(t_starts.size):
+            a, b = t_starts[ti], t_ends[ti]
+            blob = encode_postings(p_docs[a:b], tfs[a:b], p_norms[a:b])
+            postings_chunks.append(blob)
+            term_rows["field"].append(fdef.name)
+            term_rows["term"].append(uniq_list[p_codes[a]])
+            term_rows["df"].append(int(b - a))
+            term_rows["total_tf"].append(int(tfs[a:b].sum()))
+            term_rows["post_off"].append(post_off)
+            term_rows["post_len"].append(len(blob))
+            post_off += len(blob)
+            if want_positions:
+                lo = run_starts[a]
+                hi = run_ends[b - 1]
+                pblob = encode_varints(pos_deltas[lo:hi])
+                positions_chunks.append(pblob)
+                term_rows["pos_off"].append(pos_off)
+                term_rows["pos_len"].append(len(pblob))
+                pos_off += len(pblob)
+            else:
+                term_rows["pos_off"].append(-1)
+                term_rows["pos_len"].append(0)
+
+        field_stats[fdef.name] = {
+            "total_tokens": total_tokens,
+            "num_terms": int(t_starts.size),
+        }
+
+    terms_table = pa.table(
+        {
+            "field": pa.array(term_rows["field"], type=pa.string()),
+            "term": pa.array(term_rows["term"], type=pa.string()),
+            "df": pa.array(term_rows["df"], type=pa.uint32()),
+            "total_tf": pa.array(term_rows["total_tf"], type=pa.int64()),
+            "post_off": pa.array(term_rows["post_off"], type=pa.int64()),
+            "post_len": pa.array(term_rows["post_len"], type=pa.int64()),
+            "pos_off": pa.array(term_rows["pos_off"], type=pa.int64()),
+            "pos_len": pa.array(term_rows["pos_len"], type=pa.int64()),
+        }
+    )
+    pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
+    with open(os.path.join(tmp_dir, POSTINGS_FILE), "wb") as f:
+        f.write(b"".join(postings_chunks))
+    with open(os.path.join(tmp_dir, POSITIONS_FILE), "wb") as f:
+        f.write(b"".join(positions_chunks))
+    np.savez(os.path.join(tmp_dir, NORMS_FILE), **norms_out)
+
+    stored_cols = [f.name for f in schema.stored_fields if f.name in table.column_names]
+    extra_cols = [c for c in table.column_names if c.startswith("__") or c == "content_sha256"]
+    store_table = table.select(stored_cols + [c for c in extra_cols if c not in stored_cols])
+    pq.write_table(store_table, os.path.join(tmp_dir, STORE_FILE))
+
+    info = SegmentInfo(
+        segment_id=segment_id,
+        num_docs=n,
+        field_stats=field_stats,
+        lineage=lineage or {},
+        metrics={
+            "build_secs": round(time.time() - t0, 4),
+            "tokens": total_token_count,
+            "postings_bytes": post_off,
+            "positions_bytes": pos_off,
+        },
+        fieldnorm_codec=fieldnorm_codec,
+    )
+    with open(os.path.join(tmp_dir, META_FILE), "w") as f:
+        json.dump(info.to_json(), f)
+    if os.path.isdir(out_dir):
+        # another (retried) task already committed this segment — keep it
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    else:
+        os.replace(tmp_dir, out_dir)
+    return info
+
+
+class SegmentReader:
+    """Mmap-backed reader of one segment. Term dictionary loads lazily per
+    field; postings/positions are addressed through ``np.memmap`` so the
+    OS page cache is the only copy (cheap enough to hold one reader per
+    segment inside each query actor)."""
+
+    def __init__(self, path: str, schema: IndexSchema):
+        self.path = path
+        self.schema = schema
+        with open(os.path.join(path, META_FILE)) as f:
+            self.info = SegmentInfo.from_json(json.load(f))
+        self.codec = FieldNormCodec(self.info.fieldnorm_codec)
+        self._terms_by_field: dict[str, dict] = {}
+        self._postings_mm: np.memmap | None = None
+        self._positions_mm: np.memmap | None = None
+        self._norms: dict[str, np.ndarray] | None = None
+        self._store: pa.Table | None = None
+        self._terms_table: pa.Table | None = None
+
+    # -- lazy loads ----------------------------------------------------
+    def _terms(self, field: str) -> dict:
+        cached = self._terms_by_field.get(field)
+        if cached is not None:
+            return cached
+        if self._terms_table is None:
+            self._terms_table = pq.read_table(os.path.join(self.path, TERMS_FILE))
+        t = self._terms_table
+        mask = pa.compute.equal(t["field"], field)
+        sub = t.filter(mask)
+        entry = {
+            "terms": np.asarray(sub["term"].to_pylist(), dtype=object),
+            "terms_pa": sub["term"].combine_chunks(),
+            "df": sub["df"].to_numpy(),
+            "total_tf": sub["total_tf"].to_numpy(),
+            "post_off": sub["post_off"].to_numpy(),
+            "post_len": sub["post_len"].to_numpy(),
+            "pos_off": sub["pos_off"].to_numpy(),
+            "pos_len": sub["pos_len"].to_numpy(),
+        }
+        self._terms_by_field[field] = entry
+        return entry
+
+    def _postings_buf(self) -> np.ndarray:
+        if self._postings_mm is None:
+            p = os.path.join(self.path, POSTINGS_FILE)
+            self._postings_mm = (
+                np.memmap(p, dtype=np.uint8, mode="r")
+                if os.path.getsize(p)
+                else np.empty(0, dtype=np.uint8)
+            )
+        return self._postings_mm
+
+    def _positions_buf(self) -> np.ndarray:
+        if self._positions_mm is None:
+            p = os.path.join(self.path, POSITIONS_FILE)
+            self._positions_mm = (
+                np.memmap(p, dtype=np.uint8, mode="r")
+                if os.path.getsize(p)
+                else np.empty(0, dtype=np.uint8)
+            )
+        return self._positions_mm
+
+    # -- public API ----------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        return self.info.num_docs
+
+    def term_ordinal(self, field: str, term: str) -> int | None:
+        e = self._terms(field)
+        arr = e["terms"]
+        i = int(np.searchsorted(arr, term))
+        if i < arr.size and arr[i] == term:
+            return i
+        return None
+
+    def doc_freq(self, field: str, term: str) -> int:
+        i = self.term_ordinal(field, term)
+        return int(self._terms(field)["df"][i]) if i is not None else 0
+
+    def postings(self, field: str, term: str) -> PostingList | None:
+        i = self.term_ordinal(field, term)
+        if i is None:
+            return None
+        return self.postings_by_ordinal(field, i)
+
+    def postings_by_ordinal(self, field: str, ordinal: int) -> PostingList:
+        e = self._terms(field)
+        off, ln = int(e["post_off"][ordinal]), int(e["post_len"][ordinal])
+        return decode_postings(self._postings_buf()[off : off + ln])
+
+    def positions(self, field: str, ordinal: int, tfs: np.ndarray) -> list[np.ndarray]:
+        """Decode the position lists of a term: one array per posting, in
+        docid order. ``tfs`` = the posting list's tf array (defines run
+        boundaries in the delta stream)."""
+        e = self._terms(field)
+        off, ln = int(e["pos_off"][ordinal]), int(e["pos_len"][ordinal])
+        if off < 0:
+            raise ValueError(f"field {field!r} has no positions (record != 'position')")
+        deltas = decode_varints(self._positions_buf()[off : off + ln]).astype(np.int64)
+        ends = np.cumsum(tfs.astype(np.int64))
+        starts = ends - tfs
+        out = []
+        for a, b in zip(starts, ends):
+            out.append(np.cumsum(deltas[a:b]))
+        return out
+
+    def term_dict(self, field: str) -> dict:
+        """Expose the term dictionary arrays of a field (for range / regex /
+        fuzzy scans and merging)."""
+        return self._terms(field)
+
+    def norms(self, field: str) -> np.ndarray:
+        if self._norms is None:
+            with np.load(os.path.join(self.path, NORMS_FILE)) as z:
+                self._norms = {k: z[k] for k in z.files}
+        return self._norms[field]
+
+    def store(self) -> pa.Table:
+        if self._store is None:
+            self._store = pq.read_table(os.path.join(self.path, STORE_FILE))
+        return self._store
+
+    def fast_column(self, name: str) -> np.ndarray:
+        return self.store()[name].to_numpy(zero_copy_only=False)

@@ -1,0 +1,393 @@
+"""Per-segment query execution.
+
+Exact, fully-vectorized evaluation of the query AST against one
+``SegmentReader``: posting intersection (must) = sorted merge on docid,
+must_not = anti-join, should = union with score accumulation — the
+Ray-native re-expression of tantivy's boolean scorers (SURVEY.md §2.3
+#16-23). Term and phrase nodes score Okapi BM25 with *searcher-level*
+(cross-segment) statistics passed in as ``GlobalStats``; range / fuzzy /
+regex / all score constant 1.0 like tantivy 0.18.
+
+``top_k_term_union`` adds a max-score / block-max pruned path for the
+hot serving case (bare term(s), OR semantics): terms are processed in
+descending max-score-bound order; once the summed bound of the remaining
+terms cannot lift a new document into the top-k, the remaining (long,
+stop-word-like) posting lists are only decoded where their skip-table
+blocks overlap current candidates — the block-max WAND idea expressed
+block-at-a-time so every step stays a numpy kernel.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from rayfts.codec.postings import BLOCK_SIZE, decode_postings, decode_skips
+from rayfts.codec.varint import decode_varints
+from rayfts.index.schema import NUMERIC_TYPES
+from rayfts.index.segment import SegmentReader
+from rayfts.query import bm25
+from rayfts.query.ast import (
+    All,
+    Bool,
+    Fuzzy,
+    Phrase,
+    Query,
+    Range,
+    Regex,
+    Term,
+)
+
+
+@dataclass
+class GlobalStats:
+    """Searcher-level statistics (summed across all segments, SURVEY §8.2)."""
+
+    n_docs: int
+    avgdl: dict[str, float]  # field -> average doc length
+    df: dict[tuple[str, str], int]  # (field, term) -> global doc freq
+
+    def idf(self, field: str, term: str) -> float:
+        return bm25.idf(self.n_docs, self.df.get((field, term), 0))
+
+
+Matches = tuple[np.ndarray, np.ndarray]  # (docids u32 sorted asc, scores f64)
+
+_EMPTY: Matches = (np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float64))
+
+
+def _decoded_dls(seg: SegmentReader, field: str) -> np.ndarray:
+    return seg.codec.decode(seg.norms(field))
+
+
+def execute(q: Query, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    """Exact evaluation -> (sorted local docids, scores)."""
+    if isinstance(q, Term):
+        return _exec_term(q, seg, stats)
+    if isinstance(q, Phrase):
+        return _exec_phrase(q, seg, stats)
+    if isinstance(q, Bool):
+        return _exec_bool(q, seg, stats)
+    if isinstance(q, Range):
+        return _exec_range(q, seg, stats)
+    if isinstance(q, Fuzzy):
+        return _exec_fuzzy(q, seg, stats)
+    if isinstance(q, Regex):
+        return _exec_regex(q, seg, stats)
+    if isinstance(q, All):
+        n = seg.num_docs
+        return np.arange(n, dtype=np.uint32), np.ones(n, dtype=np.float64)
+    raise TypeError(f"unexecutable query node {type(q).__name__} (Raw must be parsed first)")
+
+
+def _exec_term(q: Term, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    pl = seg.postings(q.field, q.value)
+    if pl is None:
+        return _EMPTY
+    dls = _decoded_dls(seg, q.field)[pl.docids]
+    scores = bm25.score(pl.tfs, dls, stats.avgdl[q.field], stats.idf(q.field, q.value))
+    return pl.docids, scores
+
+
+def _exec_phrase(q: Phrase, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    """Position-list intersection: doc matches if the terms occur at
+    consecutive positions. tf = number of phrase occurrences; idf = sum of
+    the member terms' idfs (SURVEY §8.2 phrase weight)."""
+    if not q.terms:
+        return _EMPTY
+    ordinals = []
+    for t in q.terms:
+        o = seg.term_ordinal(q.field, t)
+        if o is None:
+            return _EMPTY
+        ordinals.append(o)
+    pls = [seg.postings_by_ordinal(q.field, o) for o in ordinals]
+    common = pls[0].docids
+    for pl in pls[1:]:
+        common = np.intersect1d(common, pl.docids, assume_unique=True)
+    if common.size == 0:
+        return _EMPTY
+    # decode positions only for the common docs
+    pos_lists = []
+    for pl, o in zip(pls, ordinals):
+        all_pos = seg.positions(q.field, o, pl.tfs)
+        sel = np.searchsorted(pl.docids, common)
+        pos_lists.append([all_pos[i] for i in sel])
+    phrase_tfs = np.zeros(common.size, dtype=np.uint32)
+    for di in range(common.size):
+        cand = pos_lists[0][di]
+        for ti in range(1, len(q.terms)):
+            cand = np.intersect1d(cand + 1, pos_lists[ti][di], assume_unique=True)
+            if cand.size == 0:
+                break
+        phrase_tfs[di] = cand.size
+    keep = phrase_tfs > 0
+    docids = common[keep].astype(np.uint32)
+    if docids.size == 0:
+        return _EMPTY
+    total_idf = sum(stats.idf(q.field, t) for t in q.terms)
+    dls = _decoded_dls(seg, q.field)[docids]
+    scores = bm25.score(phrase_tfs[keep], dls, stats.avgdl[q.field], total_idf)
+    return docids, scores
+
+
+def _exec_bool(q: Bool, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    if q.must:
+        docids, scores = execute(q.must[0], seg, stats)
+        for sub in q.must[1:]:
+            d2, s2 = execute(sub, seg, stats)
+            docids, i1, i2 = np.intersect1d(
+                docids, d2, assume_unique=True, return_indices=True
+            )
+            scores = scores[i1] + s2[i2]
+        # should clauses add score to docs already matching the musts
+        for sub in q.should:
+            d2, s2 = execute(sub, seg, stats)
+            pos = np.searchsorted(docids, d2)
+            ok = (pos < docids.size) & (docids[np.minimum(pos, docids.size - 1)] == d2) if docids.size else np.zeros(d2.size, bool)
+            scores[pos[ok]] += s2[ok]
+    elif q.should:
+        parts = [execute(sub, seg, stats) for sub in q.should]
+        all_d = np.concatenate([p[0] for p in parts])
+        all_s = np.concatenate([p[1] for p in parts])
+        if all_d.size == 0:
+            return _EMPTY
+        docids, inv = np.unique(all_d, return_inverse=True)
+        scores = np.zeros(docids.size, dtype=np.float64)
+        np.add.at(scores, inv, all_s)
+    elif q.must_not:
+        # pure-negation: match everything except (tantivy: must_not alone
+        # matches nothing unless paired; we pair with All like the parser does)
+        return _EMPTY
+    else:
+        return _EMPTY
+    for sub in q.must_not:
+        d2, _ = execute(sub, seg, stats)
+        if d2.size:
+            keep = ~np.isin(docids, d2, assume_unique=True)
+            docids, scores = docids[keep], scores[keep]
+    return docids.astype(np.uint32), scores
+
+
+def _terms_in_range(seg: SegmentReader, q: Range) -> np.ndarray:
+    e = seg.term_dict(q.field)
+    arr = e["terms"]
+    lo = 0
+    hi = arr.size
+    if q.gte is not None:
+        lo = int(np.searchsorted(arr, str(q.gte), side="left"))
+    if q.gt is not None:
+        lo = max(lo, int(np.searchsorted(arr, str(q.gt), side="right")))
+    if q.lte is not None:
+        hi = min(hi, int(np.searchsorted(arr, str(q.lte), side="right")))
+    if q.lt is not None:
+        hi = min(hi, int(np.searchsorted(arr, str(q.lt), side="left")))
+    return np.arange(lo, max(lo, hi))
+
+
+def _union_ordinals(seg: SegmentReader, field: str, ordinals: np.ndarray) -> Matches:
+    if ordinals.size == 0:
+        return _EMPTY
+    docs = [seg.postings_by_ordinal(field, int(o)).docids for o in ordinals]
+    u = np.unique(np.concatenate(docs))
+    return u.astype(np.uint32), np.ones(u.size, dtype=np.float64)
+
+
+def _exec_range(q: Range, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    fdef = seg.schema.field(q.field)
+    if fdef.type in NUMERIC_TYPES and fdef.fast:
+        col = seg.fast_column(q.field)
+        mask = np.ones(col.size, dtype=bool)
+        if q.gte is not None:
+            mask &= col >= q.gte
+        if q.gt is not None:
+            mask &= col > q.gt
+        if q.lte is not None:
+            mask &= col <= q.lte
+        if q.lt is not None:
+            mask &= col < q.lt
+        d = np.flatnonzero(mask).astype(np.uint32)
+        return d, np.ones(d.size, dtype=np.float64)
+    return _union_ordinals(seg, q.field, _terms_in_range(seg, q))
+
+
+def _exec_regex(q: Regex, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    e = seg.term_dict(q.field)
+    import pyarrow.compute as pc
+
+    # full-match semantics over the term dictionary (tantivy RegexQuery)
+    mask = pc.match_substring_regex(e["terms_pa"], f"^(?:{q.pattern})$").to_numpy(
+        zero_copy_only=False
+    )
+    return _union_ordinals(seg, q.field, np.flatnonzero(mask))
+
+
+def _levenshtein_within(a: str, b: str, limit: int, transposition: bool) -> bool:
+    """Banded DP edit distance with early exit (Damerau when transposition)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > limit:
+        return False
+    prev_row = list(range(lb + 1))
+    prev_prev: list[int] | None = None
+    for i in range(1, la + 1):
+        row = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev_row[j] + 1, row[j - 1] + 1, prev_row[j - 1] + cost)
+            if (
+                transposition
+                and prev_prev is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                v = min(v, prev_prev[j - 2] + 1)
+            row[j] = v
+            best = min(best, v)
+        if best > limit:
+            return False
+        prev_prev, prev_row = prev_row, row
+    return prev_row[lb] <= limit
+
+
+def _exec_fuzzy(q: Fuzzy, seg: SegmentReader, stats: GlobalStats) -> Matches:
+    """Term-dict scan with a length pre-filter, then banded DP distance.
+    (Scale path: Levenshtein automaton over an FST dictionary; the scan is
+    per-segment and bounded by segment vocabulary size.)"""
+    e = seg.term_dict(q.field)
+    arr = e["terms"]
+    lens = np.fromiter((len(t) for t in arr), dtype=np.int64, count=arr.size)
+    lv = len(q.value)
+    cand = np.flatnonzero(np.abs(lens - lv) <= q.distance)
+    hits = [
+        int(i)
+        for i in cand
+        if _levenshtein_within(q.value, arr[i], q.distance, q.transposition)
+    ]
+    return _union_ordinals(seg, q.field, np.asarray(hits, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Block-max pruned top-k union (the serving hot path)
+# ---------------------------------------------------------------------------
+
+
+def _decode_blocks(seg: SegmentReader, field: str, ordinal: int, block_idx: np.ndarray):
+    """Decode only the selected blocks of a posting list (skip-table
+    random access): returns (docids, tfs) of those blocks."""
+    e = seg.term_dict(field)
+    off, ln = int(e["post_off"][ordinal]), int(e["post_len"][ordinal])
+    raw = seg._postings_buf()[off : off + ln]
+    n, skips = decode_skips(raw)
+    nblocks = skips.size
+    skip_end = 8 + nblocks * skips.dtype.itemsize
+    docid_stream_start = skip_end
+    # per-block tf byte extents
+    counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
+    counts[-1] = n - BLOCK_SIZE * (nblocks - 1)
+    tf_bytes = (skips["tf_bits"].astype(np.int64) * counts + 7) // 8
+    tf_starts = docid_stream_start + int(
+        np.frombuffer(raw[4:8].tobytes(), dtype="<u4")[0]
+    ) + np.concatenate([[0], np.cumsum(tf_bytes)[:-1]])
+    docid_offs = np.append(
+        skips["docid_off"].astype(np.int64),
+        int(np.frombuffer(raw[4:8].tobytes(), dtype="<u4")[0]),
+    )
+    out_docs, out_tfs = [], []
+    from rayfts.codec.postings import _unpack_bits
+
+    for b in block_idx:
+        b = int(b)
+        lo = docid_stream_start + docid_offs[b]
+        hi = docid_stream_start + docid_offs[b + 1]
+        deltas = decode_varints(raw[lo:hi], count=int(counts[b]))
+        base = int(skips["last_docid"][b - 1]) if b > 0 else 0
+        docs = np.cumsum(deltas, dtype=np.uint64) + base
+        bits = int(skips["tf_bits"][b])
+        nb = int(tf_bytes[b])
+        tfs = _unpack_bits(raw[tf_starts[b] : tf_starts[b] + nb], int(counts[b]), bits) + 1
+        out_docs.append(docs.astype(np.uint32))
+        out_tfs.append(tfs)
+    if not out_docs:
+        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.uint32)
+    return np.concatenate(out_docs), np.concatenate(out_tfs)
+
+
+def top_k_term_union(
+    seg: SegmentReader,
+    stats: GlobalStats,
+    pairs: list[tuple[str, str]],
+    k: int,
+) -> Matches:
+    """Max-score / block-max pruned OR over term queries (one or many).
+
+    Terms are accumulated rarest-first (highest max score bound first).
+    Once the summed max bound of the unprocessed terms drops below the
+    current k-th best score, no unseen document can reach the top-k, so
+    the remaining lists are decoded only in blocks that overlap existing
+    candidates (skip-table ``last_docid`` ranges — block-max skipping).
+    Returns exact top-k-correct (docids, scores) for all candidate docs
+    touched (a superset of the true top-k, each with its exact score).
+    """
+    entries = []
+    for field, term in pairs:
+        o = seg.term_ordinal(field, term)
+        if o is None:
+            continue
+        e = seg.term_dict(field)
+        off, ln = int(e["post_off"][o]), int(e["post_len"][o])
+        raw = seg._postings_buf()[off : off + ln]
+        n, skips = decode_skips(raw)
+        term_idf = stats.idf(field, term)
+        avgdl = stats.avgdl[field]
+        min_norm_dl = seg.codec.decode(skips["min_norm"]).min() if skips.size else 0
+        bound = bm25.block_max_score_bound(
+            float(skips["max_tf"].max()) if skips.size else 1.0,
+            float(min_norm_dl), avgdl, term_idf,
+        )
+        entries.append({"field": field, "term": term, "ordinal": o, "n": n,
+                        "skips": skips, "idf": term_idf, "bound": bound})
+    if not entries:
+        return _EMPTY
+    entries.sort(key=lambda d: -d["bound"])
+    remaining_bound = sum(d["bound"] for d in entries)
+
+    acc_docs = np.empty(0, dtype=np.uint32)
+    acc_scores = np.empty(0, dtype=np.float64)
+    for d in entries:
+        remaining_bound -= d["bound"]
+        threshold = 0.0
+        if acc_scores.size >= k:
+            threshold = float(np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k])
+        field = d["field"]
+        dls_all = _decoded_dls(seg, field)
+        prune = acc_scores.size >= k and d["bound"] + remaining_bound < threshold
+        if prune:
+            # only blocks overlapping current candidates can change the top-k
+            skips = d["skips"]
+            lasts = skips["last_docid"]
+            firsts = np.concatenate([[0], lasts[:-1] + 1])
+            lo = np.searchsorted(acc_docs, firsts, side="left")
+            hi = np.searchsorted(acc_docs, lasts, side="right")
+            blocks = np.flatnonzero(hi > lo)
+            docs, tfs = _decode_blocks(seg, field, d["ordinal"], blocks)
+            if docs.size:
+                keep = np.isin(docs, acc_docs, assume_unique=True)
+                docs, tfs = docs[keep], tfs[keep]
+        else:
+            pl = seg.postings_by_ordinal(field, d["ordinal"])
+            docs, tfs = pl.docids, pl.tfs
+        if docs.size == 0:
+            continue
+        scores = bm25.score(tfs, dls_all[docs], stats.avgdl[field], d["idf"])
+        both = np.concatenate([acc_docs, docs])
+        merged, inv = np.unique(both, return_inverse=True)
+        out = np.zeros(merged.size, dtype=np.float64)
+        np.add.at(out, inv[: acc_docs.size], acc_scores)
+        np.add.at(out, inv[acc_docs.size :], scores)
+        acc_docs, acc_scores = merged.astype(np.uint32), out
+    return acc_docs, acc_scores

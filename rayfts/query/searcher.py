@@ -1,0 +1,357 @@
+"""Multi-segment searcher: searcher-level statistics, per-segment top-k,
+global (score desc, docid asc) merge, stored-doc retrieval, snippets,
+facets, and sort-by-fast-field — the read path of SURVEY.md §2.3.
+
+The reference's equivalents: ``IndexHandle::query``
+(``/root/reference/src-rust/index.rs:246-284``, string grammar, default
+limit 10, optional snippet field) and ``search_index``
+(``search.rs:10-103``, structured DSL with MultiCollector: BM25 top-k +
+optional sort-by-fast-field + optional facet counts in one pass).
+
+This class is process-local; ``rayfts.serve`` wraps it in a Ray actor
+pool where each actor owns a subset of segments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from rayfts.analysis.analyzer import Analyzer
+from rayfts.index.manifest import Manifest, read_manifest, segment_path
+from rayfts.index.schema import IndexSchema, TEXT
+from rayfts.index.segment import SegmentReader
+from rayfts.query import bm25
+from rayfts.query.ast import (
+    All,
+    Bool,
+    Phrase,
+    Query,
+    Raw,
+    Search,
+    Term,
+    collect_scored_terms,
+    from_dsl,
+    search_from_dsl,
+)
+from rayfts.query.exec import GlobalStats, execute, top_k_term_union
+from rayfts.query.parser import QueryParser
+from rayfts.query.snippet import SnippetGenerator
+
+
+class QueryError(ValueError):
+    pass
+
+
+@dataclass
+class Hit:
+    score: float
+    doc_id: int  # global docid
+    segment: str
+    local_docid: int
+    doc: dict[str, list] | None = None
+    snippet: str | None = None
+
+
+@dataclass
+class SearchResults:
+    """Shape of the structured-path response (toshi SearchResults —
+    ``search.rs:8``, consumed as ``results.docs.length`` in
+    ``test/basic.js:81``)."""
+
+    hits: int
+    docs: list[Hit]
+    facets: list[dict] = dc_field(default_factory=list)
+
+
+class Searcher:
+    def __init__(
+        self,
+        index_dir: str,
+        manifest: Manifest | None = None,
+        segment_ids: list[str] | None = None,
+        compat_default_fields: bool = True,
+    ):
+        self.index_dir = index_dir
+        self.manifest = manifest or read_manifest(index_dir)
+        self.schema: IndexSchema = self.manifest.schema
+        ordered = self.manifest.ordered_segments()
+        offsets = self.manifest.doc_id_offsets()
+        if segment_ids is not None:
+            wanted = set(segment_ids)
+            ordered = [s for s in ordered if s.segment_id in wanted]
+        self.segments = ordered
+        self.offsets = offsets
+        self.readers = [
+            SegmentReader(segment_path(index_dir, s.segment_id), self.schema)
+            for s in ordered
+        ]
+        # searcher-level stats (sum over ALL manifest segments, even when this
+        # searcher serves a subset — stats must be identical across actors)
+        self.n_docs = self.manifest.num_docs
+        self.avgdl: dict[str, float] = {}
+        for f in self.schema.indexed_fields:
+            total = sum(
+                s.field_stats.get(f.name, {}).get("total_tokens", 0)
+                for s in self.manifest.segments
+            )
+            self.avgdl[f.name] = (total / self.n_docs) if self.n_docs else 1.0
+        self.parser = QueryParser(self.schema, compat_break=compat_default_fields)
+        self._analyzers: dict[str, Analyzer] = {}
+
+    # -- stats ---------------------------------------------------------
+    def global_df(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        out: dict[tuple[str, str], int] = {}
+        for field, term in set(pairs):
+            out[(field, term)] = sum(r.doc_freq(field, term) for r in self.readers)
+        return out
+
+    def stats_for(self, q: Query) -> GlobalStats:
+        return GlobalStats(
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            df=self.global_df(collect_scored_terms(q)),
+        )
+
+    # -- query normalization -------------------------------------------
+    def _resolve(self, q: Query | str | dict) -> Query:
+        if isinstance(q, str):
+            return self.parser.parse(q)
+        if isinstance(q, dict):
+            q = from_dsl(q)
+        if isinstance(q, Raw):
+            # raw falls back to the string grammar; the reference uses ALL
+            # schema fields as defaults there (search.rs:52-59), quirk kept
+            p = QueryParser(self.schema, compat_break=False)
+            return p.parse(q.query)
+        return q
+
+    # -- core top-k ----------------------------------------------------
+    def _union_terms(self, q: Query) -> list[tuple[str, str]] | None:
+        """If q is a pure OR-of-terms (or one term), return the pairs for
+        the pruned top-k path."""
+        if isinstance(q, Term):
+            return [(q.field, q.value)]
+        if isinstance(q, Bool) and not q.must and not q.must_not and q.should:
+            pairs = []
+            for sub in q.should:
+                if isinstance(sub, Term):
+                    pairs.append((sub.field, sub.value))
+                else:
+                    return None
+            return pairs
+        return None
+
+    def top_k(self, q: Query | str | dict, limit: int = 10) -> list[Hit]:
+        query = self._resolve(q)
+        stats = self.stats_for(query)
+        pairs = self._union_terms(query)
+        merged: list[tuple[float, int, int, int]] = []  # (-score, gdoc, seg_i, local)
+        for si, reader in enumerate(self.readers):
+            if pairs is not None:
+                docids, scores = top_k_term_union(reader, stats, pairs, limit)
+            else:
+                docids, scores = execute(query, reader, stats)
+            if docids.size == 0:
+                continue
+            k = min(limit, docids.size)
+            if docids.size > k:
+                part = np.argpartition(-scores, k - 1)[:k]
+                docids, scores = docids[part], scores[part]
+            order = np.lexsort((docids, -scores))
+            off = self.offsets[self.segments[si].segment_id]
+            for i in order:
+                merged.append((-float(scores[i]), off + int(docids[i]), si, int(docids[i])))
+        merged.sort()
+        out = []
+        for negs, gdoc, si, local in merged[:limit]:
+            out.append(
+                Hit(
+                    score=-negs,
+                    doc_id=gdoc,
+                    segment=self.segments[si].segment_id,
+                    local_docid=local,
+                )
+            )
+        return out
+
+    def count(self, q: Query | str | dict) -> int:
+        query = self._resolve(q)
+        stats = self.stats_for(query)
+        return sum(int(execute(query, r, stats)[0].size) for r in self.readers)
+
+    def matches(self, q: Query | str | dict) -> tuple[np.ndarray, np.ndarray]:
+        """All matching (global docids, scores) across segments."""
+        query = self._resolve(q)
+        stats = self.stats_for(query)
+        ids, scs = [], []
+        for si, r in enumerate(self.readers):
+            d, s = execute(query, r, stats)
+            off = self.offsets[self.segments[si].segment_id]
+            ids.append(d.astype(np.int64) + off)
+            scs.append(s)
+        if not ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(ids), np.concatenate(scs)
+
+    # -- doc retrieval & snippets --------------------------------------
+    def _fetch_doc(self, si: int, local: int) -> dict[str, list]:
+        store = self.readers[si].store()
+        row = store.slice(local, 1).to_pylist()[0]
+        # multi-valued parity: every field comes back as a list of values
+        # (tantivy NamedFieldDocument — test/basic.js:41 indexes doc.id[0])
+        return {
+            k: (v if isinstance(v, list) else [v])
+            for k, v in row.items()
+            if not k.startswith("__")
+        }
+
+    def _snippet_terms(self, q: Query, field: str, stats: GlobalStats) -> dict[str, float]:
+        terms: dict[str, float] = {}
+
+        def walk(node: Query):
+            if isinstance(node, Term) and node.field == field:
+                terms[node.value] = stats.idf(node.field, node.value)
+            elif isinstance(node, Phrase) and node.field == field:
+                for t in node.terms:
+                    terms[t] = stats.idf(node.field, t)
+            elif isinstance(node, Bool):
+                for sub in (*node.must, *node.should):
+                    walk(sub)
+
+        walk(q)
+        return terms
+
+    def query_string(
+        self,
+        s: str | Query | dict,
+        limit: int = 10,
+        snippet_field: str | None = None,
+    ) -> list[dict[str, Any]]:
+        """The reference's `query` RPC: top-k by BM25, stored docs, optional
+        snippet; default limit 10 (``handles.rs:143``). Returns
+        ``[{score, doc, snippet}]`` (``handles.rs:112-117``)."""
+        query = self._resolve(s)
+        stats = self.stats_for(query)
+        hits = self.top_k(query, limit)
+        gen = None
+        if snippet_field is not None:
+            fdef = self.schema.field(snippet_field)
+            analyzer = self._analyzers.setdefault(
+                fdef.tokenizer, Analyzer(fdef.tokenizer)
+            )
+            gen = SnippetGenerator(analyzer, self._snippet_terms(query, snippet_field, stats))
+        out = []
+        for h in hits:
+            si = next(
+                i for i, s_ in enumerate(self.segments) if s_.segment_id == h.segment
+            )
+            doc = self._fetch_doc(si, h.local_docid)
+            snippet = None
+            if gen is not None:
+                vals = doc.get(snippet_field, [])
+                snippet = gen.snippet(str(vals[0]) if vals else "")
+            out.append({"score": h.score, "doc": doc, "snippet": snippet})
+        return out
+
+    # -- structured search (toshi Search) ------------------------------
+    def search(self, search: Search | dict) -> SearchResults:
+        if isinstance(search, dict):
+            search = search_from_dsl(search)
+        query = self._resolve(search.query)
+        if isinstance(query, Bool) and not (query.must or query.must_not or query.should):
+            raise QueryError("empty query (search.rs:100-102 semantics)")
+        sort_field = None
+        if search.sort_by:
+            fdef = self.schema.field(search.sort_by)
+            if fdef.fast and fdef.stored:
+                sort_field = search.sort_by
+        if sort_field is not None:
+            hits = self._top_k_by_fast_field(query, sort_field, search.limit)
+        else:
+            hits = self.top_k(query, search.limit)
+        for h in hits:
+            si = next(i for i, s_ in enumerate(self.segments) if s_.segment_id == h.segment)
+            h.doc = self._fetch_doc(si, h.local_docid)
+        facets = []
+        if search.facets:
+            facets = self._facet_counts(query, search.facets)
+        return SearchResults(hits=len(hits), docs=hits, facets=facets)
+
+    def _top_k_by_fast_field(self, query: Query, field: str, limit: int) -> list[Hit]:
+        """Order matched docs by the fast-field value (descending) instead of
+        BM25; the reported score is the value cast to float
+        (``search.rs:67-77``)."""
+        stats = self.stats_for(query)
+        rows: list[tuple[float, int, int, int]] = []
+        for si, r in enumerate(self.readers):
+            docids, _ = execute(query, r, stats)
+            if docids.size == 0:
+                continue
+            vals = r.fast_column(field)[docids].astype(np.float64)
+            k = min(limit, docids.size)
+            part = np.argpartition(-vals, k - 1)[:k] if docids.size > k else np.arange(docids.size)
+            off = self.offsets[self.segments[si].segment_id]
+            for i in part:
+                rows.append((-float(vals[i]), off + int(docids[i]), si, int(docids[i])))
+        rows.sort()
+        return [
+            Hit(score=-nv, doc_id=g, segment=self.segments[si].segment_id, local_docid=l)
+            for nv, g, si, l in rows[:limit]
+        ]
+
+    def _facet_counts(self, query: Query, facets: dict[str, list[str]]) -> list[dict]:
+        """Counts of child facet paths under each requested prefix, over the
+        matching docs. Facet values are stored as '/a/b' paths; a doc's
+        value matches prefix '/a' contributing to child '/a/b'."""
+        stats = self.stats_for(query)
+        out: list[dict] = []
+        for field, prefixes in facets.items():
+            counts: dict[str, int] = {}
+            for si, r in enumerate(self.readers):
+                docids, _ = execute(query, r, stats)
+                if docids.size == 0:
+                    continue
+                vals = r.store()[field].to_numpy(zero_copy_only=False)[docids]
+                for prefix in prefixes:
+                    pre = prefix.rstrip("/")
+                    depth = len([p for p in pre.split("/") if p])
+                    for v in vals:
+                        if v is None or not str(v).startswith(pre):
+                            continue
+                        parts = [p for p in str(v).split("/") if p]
+                        child = "/" + "/".join(parts[: depth + 1])
+                        counts[child] = counts.get(child, 0) + 1
+            for term, cnt in sorted(counts.items()):
+                out.append({"term": term, "count": cnt})
+        return out
+
+    # -- tabular output (for oracle comparisons & Dataset sinks) -------
+    def hits_table(
+        self, q: Query | str | dict, limit: int = 10, columns: list[str] | None = None
+    ) -> pa.Table:
+        hits = self.top_k(q, limit)
+        cols: dict[str, list] = {"rank": [], "gdoc": [], "score": []}
+        extra = [c for c in (columns or []) if c not in cols]
+        for c in extra:
+            cols[c] = []
+        for rank, h in enumerate(hits, 1):
+            si = next(i for i, s_ in enumerate(self.segments) if s_.segment_id == h.segment)
+            doc = self._fetch_doc(si, h.local_docid)
+            cols["rank"].append(rank)
+            cols["gdoc"].append(h.doc_id)
+            cols["score"].append(h.score)
+            for c in extra:
+                v = doc.get(c, [None])
+                cols[c].append(v[0] if v else None)
+        arrays = {
+            "rank": pa.array(cols["rank"], type=pa.int64()),
+            "gdoc": pa.array(cols["gdoc"], type=pa.int64()),
+            "score": pa.array(cols["score"], type=pa.float64()),
+        }
+        for c in extra:
+            arrays[c] = pa.array(cols[c])
+        return pa.table(arrays)
