@@ -98,12 +98,26 @@ class Analyzer:
         toks, _ = self.tokens_positions(text)
         return toks
 
-    def tokens_positions(self, text: str) -> tuple[list[str], list[int]]:
+    def tokens_positions(self, text) -> tuple[list[str], list[int]]:
         """(tokens, positions). Positions are token ordinals assigned by the
         tokenizer; the RemoveLong filter removes tokens but preserves the
-        ordinals of survivors (tantivy filter semantics)."""
+        ordinals of survivors (tantivy filter semantics).
+
+        A list value is a multi-valued field (the reference flattens array
+        values into repeated fields, ``catalog.js:131-144``): each element
+        is analyzed in turn and positions continue across elements."""
         if text is None:
             return [], []
+        if isinstance(text, (list, tuple)):
+            toks: list[str] = []
+            poss: list[int] = []
+            base = 0
+            for el in text:
+                t, p = self.tokens_positions(el)
+                toks.extend(t)
+                poss.extend(base + x for x in p)
+                base += self._raw_token_count(el)
+            return toks, poss
         spec = self.spec
         if spec.raw:
             return ([text], [0]) if text else ([], [])
@@ -131,3 +145,13 @@ class Analyzer:
             out_toks.append(tok)
             out_pos.append(pos)
         return out_toks, out_pos
+
+    def _raw_token_count(self, text) -> int:
+        """Number of position ordinals one value consumes (pre-filter)."""
+        if text is None:
+            return 0
+        if self.spec.raw:
+            return 1 if text else 0
+        if self.spec.name == "whitespace":
+            return len(text.split())
+        return len(_TOKEN_RE.findall(text))

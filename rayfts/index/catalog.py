@@ -67,7 +67,10 @@ class Index:
             # flatten nothing: list values become pa list columns (the
             # multi-valued model, catalog.js:131-144 -> pa.list_)
             table = pa.Table.from_pylist(norm)
-        seg_id = f"seg-{uuid.uuid4().hex[:12]}"
+        # version-prefixed id: ordered_segments() sorts lexicographically, so
+        # commit order == global-docid order (deterministic tie-breaks); the
+        # uuid suffix keeps ids unique across indexes for segment exchange
+        seg_id = f"seg-{m.version:06d}-{uuid.uuid4().hex[:8]}"
         info = build_segment(
             table,
             schema,

@@ -120,3 +120,33 @@ def write_manifest(index_dir: str, manifest: Manifest) -> None:
 
 def manifest_exists(index_dir: str) -> bool:
     return os.path.isfile(manifest_path(index_dir))
+
+
+def recover_orphan_segments(index_dir: str, manifest: Manifest) -> list[SegmentInfo]:
+    """Adopt committed-but-unregistered segment directories.
+
+    A segment write is atomic (tmp + rename), so any ``segments/<id>/``
+    directory containing a ``segment.json`` is a complete checkpoint even
+    if the driver died before registering it. This mirrors the reference's
+    catalog startup scan (every subdir with a meta.json is an index —
+    ``index.rs:49-87``) applied at segment granularity; it is what makes a
+    killed build resumable without redoing finished partitions."""
+    import json as _json
+
+    seg_root = segments_dir(index_dir)
+    if not os.path.isdir(seg_root):
+        return []
+    known = manifest.segment_ids()
+    adopted: list[SegmentInfo] = []
+    for entry in sorted(os.listdir(seg_root)):
+        if entry in known or entry.endswith(".tmp"):
+            continue
+        meta = os.path.join(seg_root, entry, "segment.json")
+        if not os.path.isfile(meta):
+            continue
+        with open(meta) as f:
+            adopted.append(SegmentInfo.from_json(_json.load(f)))
+    if adopted:
+        manifest.add_segments(adopted)
+        write_manifest(index_dir, manifest)
+    return adopted

@@ -199,15 +199,16 @@ def _exec_range(q: Range, seg: SegmentReader, stats: GlobalStats) -> Matches:
     fdef = seg.schema.field(q.field)
     if fdef.type in NUMERIC_TYPES and fdef.fast:
         col = seg.fast_column(q.field)
+        num = float if fdef.type == "f64" else int
         mask = np.ones(col.size, dtype=bool)
         if q.gte is not None:
-            mask &= col >= q.gte
+            mask &= col >= num(q.gte)
         if q.gt is not None:
-            mask &= col > q.gt
+            mask &= col > num(q.gt)
         if q.lte is not None:
-            mask &= col <= q.lte
+            mask &= col <= num(q.lte)
         if q.lt is not None:
-            mask &= col < q.lt
+            mask &= col < num(q.lt)
         d = np.flatnonzero(mask).astype(np.uint32)
         return d, np.ones(d.size, dtype=np.float64)
     return _union_ordinals(seg, q.field, _terms_in_range(seg, q))

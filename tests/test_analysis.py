@@ -1,0 +1,92 @@
+"""Tokenizer + Porter2 parity tests (SURVEY.md §5 test plan item 1)."""
+
+from rayfts.analysis.analyzer import Analyzer
+from rayfts.analysis.porter2 import stem
+
+# Spec-derived golden pairs (traced by hand against the published
+# Snowball english algorithm; see porter2.py docstring).
+GOLDEN = {
+    "running": "run", "knitting": "knit", "hopping": "hop", "hoping": "hope",
+    "flies": "fli", "dies": "die", "ties": "tie", "cries": "cri",
+    "caresses": "caress", "ponies": "poni", "cats": "cat",
+    "conditional": "condit", "consistency": "consist", "agreed": "agre",
+    "national": "nation", "rational": "ration", "generate": "generat",
+    "beautiful": "beauti", "beautifully": "beauti", "cycling": "cycl",
+    "happiness": "happi", "abruptly": "abrupt",
+    # exceptional forms
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "news": "news", "early": "earli", "only": "onli", "proceed": "proceed",
+    "inning": "inning",
+    # reference-fixture words that must round-trip for the goldens
+    "mundo": "mundo", "more": "more", "world": "world", "tell": "tell",
+    "hi": "hi", "first": "first",
+    # short words untouched
+    "a": "a", "ab": "ab", "": "",
+}
+
+
+def test_porter2_golden():
+    for w, expect in GOLDEN.items():
+        assert stem(w) == expect, f"{w!r}: {stem(w)!r} != {expect!r}"
+
+
+def test_porter2_idempotent_on_fixture_vocab():
+    for w in ["hello", "world", "ola", "mundo", "que", "pasa", "pues",
+              "bonjour", "monde", "ciao", "mondo", "second", "tres", "bien"]:
+        s = stem(w)
+        assert isinstance(s, str) and s
+
+
+def test_tokenizer_unicode_alnum_runs():
+    a = Analyzer("default")
+    toks, pos = a.tokens_positions("Hello wörld_9 foo-bar!")
+    # underscore and hyphen are separators; unicode letters are token chars
+    assert toks == ["hello", "wörld", "9", "foo", "bar"]
+    assert pos == [0, 1, 2, 3, 4]
+
+
+def test_remove_long_boundary_bytes():
+    a = Analyzer("default")
+    keep39 = "x" * 39
+    drop40 = "y" * 40
+    # multi-byte: 20 chars x 2 bytes = 40 bytes -> dropped
+    drop_mb = "é" * 20
+    keep_mb = "é" * 19
+    toks, pos = a.tokens_positions(f"{keep39} {drop40} {drop_mb} {keep_mb} end")
+    assert keep39 in toks and keep_mb in toks and "end" in toks
+    assert drop40 not in toks and drop_mb not in toks
+    # dropped tokens still consume a position ordinal
+    assert pos == [0, 3, 4]
+
+
+def test_positions_are_pre_filter_ordinals():
+    a = Analyzer("en_stem")
+    toks, pos = a.tokens_positions("alpha " + "z" * 50 + " beta")
+    assert toks == ["alpha", "beta"]
+    assert pos == [0, 2]
+
+
+def test_raw_analyzer_whole_value():
+    a = Analyzer("raw")
+    assert a.tokens_positions("Hello World!") == (["Hello World!"], [0])
+    assert a.tokens_positions("") == ([], [])
+    assert a.tokens_positions(None) == ([], [])
+
+
+def test_query_and_index_time_chain_agree():
+    a = Analyzer("en_stem")
+    # 'mundo' query matches indexed 'Ola mundo!' (test/basic.js:38-41)
+    assert a.tokens("Ola mundo!")[1] == a.tokens("mundo")[0]
+
+
+def test_empty_and_separator_only():
+    a = Analyzer("en_stem")
+    assert a.tokens("") == []
+    assert a.tokens("!!! --- ...") == []
+
+
+def test_stem_cache_consistency():
+    a = Analyzer("en_stem")
+    first = a.tokens("running running running")
+    again = a.tokens("running")
+    assert first == ["run", "run", "run"] and again == ["run"]

@@ -1,0 +1,139 @@
+"""Ray Data build pipeline: determinism, resume-from-checkpoint with
+lineage, content-sha integrity (north rule: resumable per-partition
+checkpoints; BASELINE.md resumability row)."""
+
+import glob
+import hashlib
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.index import manifest as mf
+from rayfts.index.build import build_index
+from rayfts.index.schema import FieldDef, IndexSchema
+from rayfts.query.searcher import Searcher
+
+SF = "/root/testdata/sf0.001"
+
+
+def doc_schema() -> IndexSchema:
+    return IndexSchema([
+        FieldDef("text", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("lang", "text", indexed=True, record="basic",
+                 tokenizer="raw", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("n_chars", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("source", "text", indexed=False, stored=True),
+    ])
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("rayidx")
+    path = str(root / "docs")
+    manifest = build_index(
+        f"{SF}/documents.parquet", path, doc_schema(),
+        content_col="text", key_cols=["doc_id"], num_segments=6,
+    )
+    return path, manifest
+
+
+def test_build_complete(built):
+    path, manifest = built
+    assert manifest.num_docs == 500
+    assert len(manifest.segments) == 6
+    s = Searcher(path)
+    assert s.count("all" and {"term": {"lang": "es"}}) > 0
+
+
+def test_deterministic_across_builds(built, ray_session, tmp_path):
+    """Same input, different parallelism -> byte-identical segments
+    (merge/build determinism, SURVEY.md §5 item 3)."""
+    path, _ = built
+    path2 = str(tmp_path / "docs2")
+    build_index(f"{SF}/documents.parquet", path2, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=6)
+    for seg_dir in sorted(glob.glob(os.path.join(path, "segments", "*"))):
+        other = os.path.join(path2, "segments", os.path.basename(seg_dir))
+        for fname in ["postings.bin", "positions.bin"]:
+            a = open(os.path.join(seg_dir, fname), "rb").read()
+            b = open(os.path.join(other, fname), "rb").read()
+            assert hashlib.sha256(a).hexdigest() == hashlib.sha256(b).hexdigest(), (
+                seg_dir, fname)
+
+
+def test_rank_identical_across_builds(built, ray_session, tmp_path):
+    path, _ = built
+    path2 = str(tmp_path / "docs3")
+    build_index(f"{SF}/documents.parquet", path2, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=6)
+    s1, s2 = Searcher(path), Searcher(path2)
+    for q in ["merge", "the", "spark window", "query AND batch"]:
+        h1 = [(h["doc"]["doc_id"][0], h["score"]) for h in s1.query_string(q)]
+        h2 = [(h["doc"]["doc_id"][0], h["score"]) for h in s2.query_string(q)]
+        assert h1 == h2, q
+
+
+def test_content_sha256_integrity(built):
+    """Per-row invariant (BASELINE.json input_hint): sha256(content) carried
+    into the doc store equals a recomputation from the source table."""
+    path, manifest = built
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {
+        d: hashlib.sha256(t.encode()).hexdigest()
+        for d, t in zip(src["doc_id"].to_pylist(), src["text"].to_pylist())
+    }
+    seen = 0
+    for seg in manifest.segments:
+        store = pq.read_table(
+            os.path.join(mf.segment_path(path, seg.segment_id), "store.parquet"),
+            columns=["doc_id", "content_sha256"],
+        )
+        for d, sha in zip(store["doc_id"].to_pylist(), store["content_sha256"].to_pylist()):
+            assert expect[d] == sha
+            seen += 1
+    assert seen == 500
+
+
+def test_resume_after_injected_failure(ray_session, tmp_path):
+    """Kill-and-resume: a build that fails on some partitions commits the
+    others; the rerun skips committed segments (lineage-diff) and converges
+    to the same index."""
+    path = str(tmp_path / "docs")
+    with pytest.raises(Exception):
+        build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                    content_col="text", key_cols=["doc_id"], num_segments=6,
+                    _fail_segments=frozenset({1, 4}))
+    # the atomically-renamed segment dirs ARE the checkpoints: some finished
+    # partitions exist on disk even though the driver died before registering
+    done_dirs = sorted(glob.glob(os.path.join(path, "segments", "seg-*")))
+    assert 0 < len(done_dirs) < 6
+    failed_names = {f"seg-{i:06d}" for i in (1, 4)}
+    assert failed_names.isdisjoint({os.path.basename(d) for d in done_dirs})
+    checkpoint_meta = {
+        d: json.load(open(os.path.join(d, "segment.json"))) for d in done_dirs
+    }
+    for meta in checkpoint_meta.values():
+        assert meta["metrics"]["build_secs"] >= 0
+        assert "content_xor" in meta["lineage"]
+        assert meta["lineage"]["num_segments"] == 6
+    mtimes = {d: os.path.getmtime(os.path.join(d, "postings.bin")) for d in done_dirs}
+
+    m2 = build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                     content_col="text", key_cols=["doc_id"], num_segments=6)
+    assert len(m2.segments) == 6 and m2.num_docs == 500
+    # previously committed partitions were adopted, not rebuilt
+    for d in done_dirs:
+        assert os.path.getmtime(os.path.join(d, "postings.bin")) == mtimes[d]
+    # resumed index ranks identically to a clean build
+    clean = str(tmp_path / "clean")
+    build_index(f"{SF}/documents.parquet", clean, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=6)
+    s1, s2 = Searcher(path), Searcher(clean)
+    for q in ["merge", "filter batch"]:
+        assert [
+            (h["doc"]["doc_id"][0], h["score"]) for h in s1.query_string(q)
+        ] == [(h["doc"]["doc_id"][0], h["score"]) for h in s2.query_string(q)]

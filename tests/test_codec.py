@@ -1,0 +1,84 @@
+"""Posting-list round-trip + fieldnorm codec properties
+(SURVEY.md §5 test plan item 2)."""
+
+import numpy as np
+import pytest
+
+from rayfts.codec.fieldnorm import FieldNormCodec
+from rayfts.codec.postings import (
+    BLOCK_SIZE,
+    decode_postings,
+    decode_skips,
+    encode_postings,
+)
+from rayfts.codec.varint import decode_varints, encode_varints
+
+
+def test_varint_roundtrip_property():
+    rng = np.random.default_rng(42)
+    for _ in range(40):
+        n = int(rng.integers(1, 3000))
+        bits = int(rng.integers(1, 64))
+        vals = rng.integers(0, 2**bits, size=n, dtype=np.uint64)
+        assert (decode_varints(encode_varints(vals), count=n) == vals).all()
+
+
+def test_varint_edges():
+    for v in [0, 1, 127, 128, 16383, 16384, 2**32 - 1, 2**63 - 1, 2**64 - 1]:
+        arr = np.array([v], dtype=np.uint64)
+        assert decode_varints(encode_varints(arr))[0] == v
+    assert encode_varints(np.array([], dtype=np.uint64)) == b""
+    assert decode_varints(b"").size == 0
+
+
+def test_postings_roundtrip_property():
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        n = int(rng.integers(1, 4000))
+        docids = np.sort(
+            rng.choice(np.arange(0, 200_000, dtype=np.uint32), size=n, replace=False)
+        )
+        tfs = rng.integers(1, 1000, size=n).astype(np.uint32)
+        norms = rng.integers(0, 256, size=n).astype(np.uint8)
+        pl = decode_postings(encode_postings(docids, tfs, norms))
+        assert (pl.docids == docids).all()
+        assert (pl.tfs == tfs).all()
+
+
+def test_skip_blockmax_metadata():
+    n = 1000
+    docids = np.arange(0, 5 * n, 5, dtype=np.uint32)
+    tfs = (np.arange(n) % 17 + 1).astype(np.uint32)
+    norms = (np.arange(n) % 41).astype(np.uint8)
+    blob = encode_postings(docids, tfs, norms)
+    ndocs, skips = decode_skips(blob)
+    assert ndocs == n
+    assert skips.size == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    for b in range(skips.size):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        assert skips[b]["last_docid"] == docids[hi - 1]
+        assert skips[b]["max_tf"] == tfs[lo:hi].max()
+        assert skips[b]["min_norm"] == norms[lo:hi].min()
+
+
+def test_empty_posting_list_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([], dtype=np.uint32), np.array([], dtype=np.uint32))
+
+
+def test_fieldnorm_exact_region_and_monotone():
+    c = FieldNormCodec(FieldNormCodec.TANTIVY_LIKE)
+    counts = np.arange(0, 41)
+    assert (c.decode(c.encode(counts)) == counts).all()  # identity <= 40
+    big = np.array([41, 100, 1000, 10**6, 10**9])
+    ids = c.encode(big)
+    dec = c.decode(ids)
+    assert (dec <= big).all()  # largest id whose value <= count
+    table = c.decode(np.arange(256))
+    assert (np.diff(table) > 0).all()  # strictly increasing
+
+
+def test_fieldnorm_exact_codec_identity():
+    c = FieldNormCodec(FieldNormCodec.EXACT)
+    counts = np.array([0, 1, 40, 41, 99999])
+    assert (c.decode(c.encode(counts)) == counts).all()
