@@ -1,44 +1,583 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline at sf0.001 (index build + reference query
+set). ``queries()`` — one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data ops). ``oracle_sql()`` — matching
+DuckDB SQL for everything SQL-expressible; BM25 itself is expressed in
+SQL (tokenize via regexp, exact doc lengths, the identical f64 formula)
+over indexes built with the ``default`` (non-stemming) analyzer and the
+``exact`` fieldnorm codec so the oracle can reproduce ranks bit-for-bit;
+the ``en_stem``/quantized production config is exercised by ``entry()``
+and by rows-only queries (SQL has no Snowball stemmer).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from rayfts.index.build import build_index
+from rayfts.index.schema import FieldDef, IndexSchema
+from rayfts.query.ast import All, Bool, Fuzzy, Phrase, Range, Regex, Term
+from rayfts.query.searcher import Searcher
+
+# bump when the on-disk index format changes (invalidates /tmp caches)
+FORMAT_VERSION = "v3"
+CACHE_ROOT = "/tmp/rayfts_cache"
+NUM_SEGMENTS = 16
+
+K1, B = 1.2, 0.75
+
+
+# ---------------------------------------------------------------------------
+# index configs over the `documents` table
+# ---------------------------------------------------------------------------
+
+
+def _oracle_schema() -> IndexSchema:
+    """SQL-reproducible config: default analyzer (no stemming), exact
+    fieldnorms; text is the only indexed (hence only default) field."""
+    return IndexSchema([
+        FieldDef("text", "text", indexed=True, record="position",
+                 tokenizer="default", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("n_chars", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("lang", "text", indexed=False, stored=True),
+        FieldDef("source", "text", indexed=False, stored=True),
+    ])
+
+
+def _fts_schema() -> IndexSchema:
+    """Production config: en_stem + positions + quantized fieldnorms
+    (the reference's own analyzer choice, test/lib/fixtures.js:23)."""
+    return IndexSchema([
+        FieldDef("text", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("lang", "text", indexed=True, record="basic",
+                 tokenizer="raw", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("n_chars", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("source", "text", indexed=False, stored=True),
+    ])
+
+
+_SEARCHERS: dict[tuple[str, str], Searcher] = {}
+
+
+def _docs_index(sf_dir: str, kind: str) -> Searcher:
+    """Build-or-open the documents index for this sf_dir (cached on disk
+    keyed by input+config+format; a completed build short-circuits)."""
+    key = (sf_dir, kind)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    schema = _oracle_schema() if kind == "oracle" else _fts_schema()
+    fieldnorm = "exact" if kind == "oracle" else "tantivy_like"
+    digest = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{kind}|{FORMAT_VERSION}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-{kind}-{digest}")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        schema,
+        index_name=f"documents-{kind}",
+        content_col="text",
+        key_cols=["doc_id"],
+        num_segments=NUM_SEGMENTS,
+        fieldnorm_codec=fieldnorm,
+    )
+    s = Searcher(index_dir)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _docs_ds(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# result-shaping helpers
+# ---------------------------------------------------------------------------
+
+
+def _docid_table(searcher: Searcher, query) -> pa.Table:
+    gids, _ = searcher.matches(query)
+    doc_ids = _stored_doc_ids(searcher, gids)
+    return pa.table({"doc_id": pa.array(np.sort(doc_ids), type=pa.int64())})
+
+
+def _stored_doc_ids(searcher: Searcher, gids: np.ndarray) -> np.ndarray:
+    """Map internal global docids -> the stored doc_id column."""
+    out = np.empty(gids.size, dtype=np.int64)
+    lut = {}
+    for si, seg in enumerate(searcher.segments):
+        off = searcher.offsets[seg.segment_id]
+        lut[si] = (off, searcher.readers[si].fast_column("doc_id").astype(np.int64))
+    bounds = sorted((off, si) for si, (off, _c) in lut.items())
+    for i, g in enumerate(gids):
+        # segments are few; linear scan over offsets
+        for off, si in reversed(bounds):
+            if g >= off:
+                out[i] = lut[si][1][int(g - off)]
+                break
+    return out
+
+
+def _topk_with_ids(searcher: Searcher, query, k: int = 10) -> pa.Table:
+    """Top-k ranked by (score desc, stored doc_id asc) — rank identity is
+    defined on (score, stable external id) per SURVEY.md §7.5(6), which is
+    what the SQL oracle's ORDER BY score DESC, doc_id reproduces."""
+    gids, scores = searcher.matches(query)
+    doc_ids = _stored_doc_ids(searcher, gids)
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+        "doc_id": pa.array(doc_ids[order], type=pa.int64()),
+    })
+
+
+def _single_count(cnt: int, name: str = "cnt") -> pa.Table:
+    return pa.table({name: pa.array([cnt], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"""
+tok_lists AS (
+  SELECT doc_id, [lower(x) for x in regexp_extract_all(text, '[\p{L}\p{N}]+') if strlen(x) < 40] AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tok_lists),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok_lists),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+
+def _bm25_term_sql(term: str) -> str:
+    """Score CTE for one term: exact engine formula, f64, same op order."""
+    return f"""
+tf_{_safe(term)} AS (
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+sc_{_safe(term)} AS (
+  SELECT t.doc_id,
+         (ln(1.0 + ((s.n - d.df + 0.5) / (d.df + 0.5))) * (1.2 + 1.0))
+           * (t.tf / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM tf_{_safe(term)} t
+  CROSS JOIN (SELECT count(*) AS df FROM tf_{_safe(term)}) d
+  CROSS JOIN stats s
+  JOIN dl l ON l.doc_id = t.doc_id
+)
+"""
+
+
+def _safe(term: str) -> str:
+    return "".join(c if c.isalnum() else "_" for c in term)
+
+
+def _topk_term_sql(term: str, k: int = 10) -> str:
+    return (
+        f"WITH {_TOKS_CTE}, {_bm25_term_sql(term)} "
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id "
+        f"FROM sc_{_safe(term)} ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def _topk_or_sql(t1: str, t2: str, k: int = 10) -> str:
+    return f"""
+WITH {_TOKS_CTE}, {_bm25_term_sql(t1)}, {_bm25_term_sql(t2)},
+u AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.score, 0.0) + COALESCE(b.score, 0.0) AS score
+  FROM sc_{_safe(t1)} a FULL OUTER JOIN sc_{_safe(t2)} b USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id
+FROM u ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# terms chosen from the synthetic vocabulary (mid-frequency + stop-word-like)
+T_MID = "merge"
+T_HOT = "the"
+T_B = "sort"
+PHRASE = ("batch", "batch")
+
+
+# ---------------------------------------------------------------------------
+# the three driver hooks
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the en_stem index over sf0.001 documents (Ray Data
+    pipeline with checkpointed segments) and run the reference query set;
+    returns the concatenated top-k tables."""
+    sf = "/root/testdata/sf0.001"
+    s = _docs_index(sf, "fts")
+    out = []
+    for q in [T_MID, T_HOT, f"{T_MID} {T_B}", f"+{T_MID} +{T_B}",
+              f"text:{T_MID}", f'"{PHRASE[0]} {PHRASE[1]}"', f"-{T_HOT}"]:
+        hits = s.query_string(q, limit=10)
+        for rank, h in enumerate(hits, 1):
+            out.append({
+                "query": q, "rank": rank,
+                "doc_id": int(h["doc"]["doc_id"][0]),
+                "score": round(float(h["score"]), 6),
+            })
+    return pa.Table.from_pylist(out) if out else pa.table({"query": pa.array([], pa.string())})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- read path: BM25 + query operators (oracle-checked) ----------
+    q["term_topk"] = lambda sf: _topk_with_ids(_docs_index(sf, "oracle"), Term("text", T_MID))
+    q["stopword_topk"] = lambda sf: _topk_with_ids(_docs_index(sf, "oracle"), Term("text", T_HOT))
+    q["or_topk"] = lambda sf: _topk_with_ids(
+        _docs_index(sf, "oracle"), Bool(should=[Term("text", T_MID), Term("text", T_B)])
+    )
+    q["and_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"), Bool(must=[Term("text", T_MID), Term("text", T_B)])
+    )
+    q["must_not_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"),
+        Bool(must=[Term("text", T_MID)], must_not=[Term("text", T_B)]),
+    )
+    q["phrase_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"), Phrase("text", PHRASE)
+    )
+    q["range_term_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"), Range("text", gte="query", lt="row")
+    )
+    q["range_numeric_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"), Range("n_chars", gte=200, lte=400)
+    )
+    q["regex_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"), Regex("text", "mer.*")
+    )
+    q["fuzzy_docs"] = lambda sf: _docid_table(
+        _docs_index(sf, "oracle"), Fuzzy("text", T_MID, distance=1, transposition=False)
+    )
+    q["count_all"] = lambda sf: _single_count(_docs_index(sf, "oracle").count(All()))
+    q["term_count"] = lambda sf: _single_count(
+        _docs_index(sf, "oracle").count(Term("text", T_MID))
+    )
+
+    def facet_lang(sf):
+        s = _docs_index(sf, "oracle")
+        res = s._facet_counts(Term("text", T_MID), {"lang": [""]})
+        return pa.table({
+            "term": pa.array([f["term"] for f in res], type=pa.string()),
+            "cnt": pa.array([f["count"] for f in res], type=pa.int64()),
+        })
+
+    q["facet_lang_counts"] = facet_lang
+
+    def sort_fastfield(sf):
+        s = _docs_index(sf, "oracle")
+        gids, _ = s.matches(Term("text", T_MID))
+        doc_ids = _stored_doc_ids(s, gids)
+        # fast-field values of the matches
+        vals = np.empty(gids.size, dtype=np.int64)
+        for si, seg in enumerate(s.segments):
+            off = s.offsets[seg.segment_id]
+            n = seg.num_docs
+            m = (gids >= off) & (gids < off + n)
+            if m.any():
+                vals[m] = s.readers[si].fast_column("n_chars").astype(np.int64)[gids[m] - off]
+        order = np.lexsort((doc_ids, -vals))[:10]
+        return pa.table({
+            "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+            "doc_id": pa.array(doc_ids[order], type=pa.int64()),
+            "n_chars": pa.array(vals[order], type=pa.int64()),
+        })
+
+    q["sort_by_fast_field"] = sort_fastfield
+
+    # ---- analytics / training-data ops (oracle-checked) --------------
+    def top_terms_q(sf):
+        from rayfts.ops.termstats import top_terms
+
+        return top_terms(_docs_ds(sf), n=50, col="text", analyzer="default")
+
+    q["term_stats_top50"] = top_terms_q
+
+    def exact_dedup_q(sf):
+        from rayfts.ops.dedup import exact_dedup
+
+        kept = exact_dedup(_docs_ds(sf), col="text", id_col="doc_id")
+        ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    q["exact_dedup_kept"] = exact_dedup_q
+
+    def token_stats_q(sf):
+        from rayfts.ops.textstats import token_stats_batch
+
+        out = _docs_ds(sf).map_batches(token_stats_batch, batch_format="pyarrow")
+        t = pa.Table.from_pylist(
+            sorted(out.select_columns(["doc_id", "n_tokens", "n_types", "max_token_len"]).take_all(),
+                   key=lambda r: r["doc_id"])
+        )
+        return t
+
+    q["token_stats"] = token_stats_q
+
+    def quality_q(sf):
+        from rayfts.ops.textstats import quality_stats_batch
+
+        out = _docs_ds(sf).map_batches(quality_stats_batch, batch_format="pyarrow")
+        cols = ["doc_id", "n_tokens", "n_alpha_chars", "n_chars_total", "n_stopwords_en"]
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(cols).take_all(), key=lambda r: r["doc_id"])
+        )
+
+    q["quality_stats"] = quality_q
+
+    def langid_q(sf):
+        from rayfts.ops.textstats import langid_batch
+
+        out = _docs_ds(sf).map_batches(langid_batch, batch_format="pyarrow")
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(["doc_id", "lang_pred"]).take_all(),
+                   key=lambda r: r["doc_id"])
+        )
+
+    q["langid"] = langid_q
+
+    def embedding_topk_q(sf):
+        from rayfts.ops.ann import brute_force_topk
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+        ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        t = brute_force_topk(ds, qvec, k=10)
+        return t.select(["rank", "vec_id"])
+
+    q["embedding_topk"] = embedding_topk_q
+
+    # ---- rows-only (non-SQL-expressible) ------------------------------
+    def stemmed_topk(sf):
+        s = _docs_index(sf, "fts")
+        hits = s.query_string(T_MID, limit=10)
+        return pa.table({
+            "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+            "doc_id": pa.array([int(h["doc"]["doc_id"][0]) for h in hits], type=pa.int64()),
+            "score": pa.array([round(h["score"], 6) for h in hits], type=pa.float64()),
+        })
+
+    q["bm25_stemmed_topk"] = stemmed_topk
+
+    def snippets_q(sf):
+        s = _docs_index(sf, "fts")
+        hits = s.query_string(T_MID, limit=5, snippet_field="text")
+        return pa.table({
+            "doc_id": pa.array([int(h["doc"]["doc_id"][0]) for h in hits], type=pa.int64()),
+            "snippet": pa.array([h["snippet"] for h in hits], type=pa.string()),
+        })
+
+    q["snippets"] = snippets_q
+
+    def minhash_q(sf):
+        from rayfts.ops.dedup import minhash_dedup_pairs
+
+        return minhash_dedup_pairs(_docs_ds(sf), threshold=0.5)
+
+    q["minhash_dedup_pairs"] = minhash_q
+
+    def simhash_q(sf):
+        from rayfts.ops.dedup import simhash_near_dup_pairs
+
+        return simhash_near_dup_pairs(_docs_ds(sf), max_hamming=3)
+
+    q["simhash_near_dup"] = simhash_q
+
+    def cosine_dup_q(sf):
+        from rayfts.ops.ann import cosine_near_dup_pairs
+
+        ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        return cosine_near_dup_pairs(ds, threshold=0.9)
+
+    q["embedding_near_dup"] = cosine_dup_q
+
+    def ann_ivf_q(sf):
+        from rayfts.ops.ann import IVFIndex
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
+        ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        ivf = IVFIndex(n_clusters=8, nprobe=2).build(ds)
+        res = ivf.search(qvec, k=10)
+        return pa.table({
+            "rank": pa.array(range(1, len(res) + 1), type=pa.int64()),
+            "vec_id": pa.array([r[0] for r in res], type=pa.int64()),
+        })
+
+    q["ann_ivf_topk"] = ann_ivf_q
+
+    def fingerprint_q(sf):
+        from rayfts.ops.textstats import fingerprint_batch
+
+        out = _docs_ds(sf).map_batches(fingerprint_batch, batch_format="pyarrow")
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(["doc_id", "fingerprint"]).take_all(),
+                   key=lambda r: r["doc_id"])
+        )
+
+    q["fingerprints"] = fingerprint_q
+
+    def multimodal_q(sf):
+        from rayfts.ops.multimodal import DecodeImage, decode_pipeline, synth_media_table
+
+        ds = ray.data.from_arrow(synth_media_table(64))
+        out = decode_pipeline(ds, DecodeImage, fake=True)
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(["media_id", "width", "height", "channels"]).take_all(),
+                   key=lambda r: r["media_id"])
+        )
+
+    q["multimodal_decode"] = multimodal_q
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {k: sorted(v) for k, v in __import__("rayfts.ops.textstats", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS.items()}
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in stop[lang]) + "]"
+
+    sql: dict[str, str] = {}
+    sql["term_topk"] = _topk_term_sql(T_MID)
+    sql["stopword_topk"] = _topk_term_sql(T_HOT)
+    sql["or_topk"] = _topk_or_sql(T_MID, T_B)
+    sql["and_docs"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT DISTINCT doc_id FROM toks WHERE term = '{T_MID}' "
+        f"INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term = '{T_B}' ORDER BY doc_id"
+    )
+    sql["must_not_docs"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT DISTINCT doc_id FROM toks WHERE term = '{T_MID}' "
+        f"EXCEPT SELECT DISTINCT doc_id FROM toks WHERE term = '{T_B}' ORDER BY doc_id"
+    )
+    sql["phrase_docs"] = f"""
+WITH {_TOKS_CTE},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tok_lists
+),
+bi AS (
+  SELECT doc_id, term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tokp
+)
+SELECT DISTINCT doc_id FROM bi WHERE term = '{PHRASE[0]}' AND nxt = '{PHRASE[1]}' ORDER BY doc_id
+"""
+    sql["range_term_docs"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT DISTINCT doc_id FROM toks WHERE term >= 'query' AND term < 'row' ORDER BY doc_id"
+    )
+    sql["range_numeric_docs"] = (
+        "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id"
+    )
+    sql["regex_docs"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT DISTINCT doc_id FROM toks WHERE regexp_full_match(term, 'mer.*') ORDER BY doc_id"
+    )
+    sql["fuzzy_docs"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, '{T_MID}') <= 1 ORDER BY doc_id"
+    )
+    sql["count_all"] = "SELECT count(*) AS cnt FROM documents"
+    sql["term_count"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT count(DISTINCT doc_id) AS cnt FROM toks WHERE term = '{T_MID}'"
+    )
+    sql["facet_lang_counts"] = (
+        f"WITH {_TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{T_MID}') "
+        f"SELECT '/' || d.lang AS term, count(*) AS cnt FROM documents d JOIN m USING (doc_id) "
+        f"GROUP BY d.lang ORDER BY term"
+    )
+    sql["sort_by_fast_field"] = (
+        f"WITH {_TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{T_MID}') "
+        f"SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT) AS rank, "
+        f"d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id) "
+        f"ORDER BY d.n_chars DESC, d.doc_id LIMIT 10"
+    )
+    sql["term_stats_top50"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf "
+        f"FROM toks GROUP BY term ORDER BY cf DESC, term LIMIT 50"
+    )
+    sql["exact_dedup_kept"] = (
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+    )
+    sql["token_stats"] = r"""
+WITH t AS (
+  SELECT doc_id, [lower(x) for x in regexp_extract_all(text, '[\p{L}\p{N}]+')] AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST(COALESCE(list_aggregate([length(x) for x in toks], 'max'), 0) AS BIGINT) AS max_token_len
+FROM t ORDER BY doc_id
+"""
+    sql["quality_stats"] = rf"""
+WITH t AS (
+  SELECT doc_id, text, [lower(x) for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS BIGINT) AS n_alpha_chars,
+       CAST(length(text) AS BIGINT) AS n_chars_total,
+       CAST(len([x for x in toks if list_contains({lst('en')}, x)]) AS BIGINT) AS n_stopwords_en
+FROM t ORDER BY doc_id
+"""
+    sql["langid"] = rf"""
+WITH t AS (
+  SELECT doc_id, [lower(x) for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len([x for x in toks if list_contains({lst('de')}, x)]) AS de,
+    len([x for x in toks if list_contains({lst('en')}, x)]) AS en,
+    len([x for x in toks if list_contains({lst('es')}, x)]) AS es,
+    len([x for x in toks if list_contains({lst('fr')}, x)]) AS fr
+  FROM t
+)
+SELECT doc_id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+  WHEN de = greatest(de, en, es, fr) THEN 'de'
+  WHEN en = greatest(de, en, es, fr) THEN 'en'
+  WHEN es = greatest(de, en, es, fr) THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+    sql["embedding_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+    return sql

