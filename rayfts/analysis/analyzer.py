@@ -132,8 +132,12 @@ class Analyzer:
         limit = spec.remove_long
         lower = spec.lowercase
         for pos, tok in enumerate(raw):
-            if limit is not None and len(tok.encode("utf-8")) >= limit:
-                continue
+            if limit is not None:
+                lc = len(tok)
+                # bytes >= chars, and bytes <= 4*chars: only borderline
+                # lengths need the actual utf-8 encode (hot-path shortcut)
+                if lc >= limit or (lc * 4 >= limit and len(tok.encode("utf-8")) >= limit):
+                    continue
             if lower:
                 tok = tok.lower()
             if stemming:
@@ -145,6 +149,35 @@ class Analyzer:
             out_toks.append(tok)
             out_pos.append(pos)
         return out_toks, out_pos
+
+    def tokens_positions_fast(self, text) -> tuple[list[str], list[int] | None]:
+        """Hot-path variant for the index build: returns positions=None when
+        they are the identity (0..n-1), letting the caller build position
+        arrays vectorized. Falls back to :meth:`tokens_positions` whenever a
+        token could be dropped (non-ASCII text or a token near the 40-byte
+        RemoveLong limit)."""
+        spec = self.spec
+        if not isinstance(text, str) or spec.raw or spec.name == "whitespace":
+            return self.tokens_positions(text)
+        raw = _TOKEN_RE.findall(text)
+        if not raw:
+            return [], None
+        limit = spec.remove_long
+        if limit is not None:
+            if not text.isascii() or max(map(len, raw)) >= limit:
+                return self.tokens_positions(text)
+        toks = [t.lower() for t in raw] if spec.lowercase else raw
+        if spec.stemmer is not None:
+            cache = self._stem_cache
+            try:
+                toks = [cache[t] for t in toks]
+            except KeyError:
+                stem = porter2.stem
+                for t in set(toks):
+                    if t not in cache:
+                        cache[t] = stem(t)
+                toks = [cache[t] for t in toks]
+        return toks, None
 
     def _raw_token_count(self, text) -> int:
         """Number of position ordinals one value consumes (pre-filter)."""

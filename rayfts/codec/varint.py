@@ -10,6 +10,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    tmp = v.copy()
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for _ in range(9):
+        tmp >>= np.uint64(7)
+        nbytes += (tmp > 0).astype(np.int64)
+    return nbytes
+
+
 def encode_varints(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array; vectorized (no per-value Python loop)."""
     v = np.asarray(values, dtype=np.uint64)

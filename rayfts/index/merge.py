@@ -1,0 +1,245 @@
+"""Segment merging: actor-pool mergers with deterministic output.
+
+The reference relies on tantivy's background LogMergePolicy and sketches
+a controlled-merge design in its header notes (``main.rs:7-17``: copy
+to-be-merged segments aside, commit new metas atomically). Here merging
+is an explicit, deterministic operation:
+
+- groups are formed over the *ordered* segment list (by segment_id) so
+  the merged index preserves global docid order — queries return
+  identical (score, docid) before and after a merge;
+- each group is merged by one ``MergerActor`` (stateful: term streams of
+  every source segment held open) doing a k-way merge of sorted term
+  dictionaries with docid rebasing; positions need no re-encode (their
+  delta streams are span-local) and are byte-concatenated;
+- the merged segment is written tmp+rename and swapped into the manifest
+  atomically (originals dropped in the same commit).
+
+Merge determinism (SURVEY.md §5 item 3): same source segments in any
+grouping order -> byte-identical merged postings, because inputs are
+always processed in segment_id order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from rayfts.index import manifest as mf
+from rayfts.index.schema import IndexSchema
+from rayfts.index.segment import (
+    META_FILE,
+    NORMS_FILE,
+    POSITIONS_FILE,
+    POSTINGS_FILE,
+    STORE_FILE,
+    TERMS_FILE,
+    SegmentInfo,
+    SegmentReader,
+)
+from rayfts.codec.postings import encode_postings_batch
+
+
+def merged_segment_id(source_ids: list[str]) -> str:
+    """Sorts into the first source's position (prefix order), keeping
+    global docid order intact across the swap."""
+    return f"{min(source_ids)}.m{len(source_ids)}"
+
+
+def merge_segment_group(
+    index_dir: str, schema_json: list, source_ids: list[str]
+) -> SegmentInfo:
+    source_ids = sorted(source_ids)
+    schema = IndexSchema.from_json(schema_json)
+    readers = [SegmentReader(mf.segment_path(index_dir, s), schema) for s in source_ids]
+    offsets = np.concatenate([[0], np.cumsum([r.num_docs for r in readers])])[:-1]
+    out_id = merged_segment_id(source_ids)
+    out_dir = mf.segment_path(index_dir, out_id)
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    term_rows = {k: [] for k in
+                 ["field", "term", "df", "total_tf", "post_off", "post_len",
+                  "pos_off", "pos_len"]}
+    post_chunks: list[bytes] = []
+    pos_chunks: list[bytes] = []
+    post_off = 0
+    pos_off = 0
+    norms_out: dict[str, np.ndarray] = {}
+    field_stats: dict[str, dict] = {}
+
+    for fdef in schema.indexed_fields:
+        dicts = [r.term_dict(fdef.name) for r in readers]
+        norms_out[fdef.name] = np.concatenate([r.norms(fdef.name) for r in readers])
+        # k-way merge of sorted term arrays (stable: source order within term)
+        all_terms = np.concatenate([d["terms"] for d in dicts])
+        src_of = np.repeat(np.arange(len(dicts)), [d["terms"].size for d in dicts])
+        ord_of = np.concatenate([np.arange(d["terms"].size) for d in dicts]) if all_terms.size else np.empty(0, np.int64)
+        order = np.argsort(all_terms, kind="stable")
+        s_terms, s_src, s_ord = all_terms[order], src_of[order], ord_of[order]
+
+        p_docs_parts, p_tfs_parts, p_norms_parts = [], [], []
+        t_sizes: list[int] = []
+        merged_terms: list[str] = []
+        merged_pos: list[tuple[int, int]] = []  # (pos_off, pos_len) accumulated
+
+        i = 0
+        nmerged = len(s_terms)
+        codec = readers[0].codec
+        while i < nmerged:
+            j = i
+            term = s_terms[i]
+            size = 0
+            span_pos_len = 0
+            pos_parts = []
+            while j < nmerged and s_terms[j] == term:
+                src, o = int(s_src[j]), int(s_ord[j])
+                pl = readers[src].postings_by_ordinal(fdef.name, o)
+                p_docs_parts.append(pl.docids.astype(np.int64) + offsets[src])
+                p_tfs_parts.append(pl.tfs)
+                if codec.kind == "tantivy_like":
+                    p_norms_parts.append(
+                        norms_out[fdef.name][p_docs_parts[-1]].astype(np.uint8)
+                    )
+                else:
+                    p_norms_parts.append(np.zeros(pl.docids.size, dtype=np.uint8))
+                if fdef.has_positions:
+                    e = dicts[src]
+                    po, pln = int(e["pos_off"][o]), int(e["pos_len"][o])
+                    pos_parts.append(readers[src]._positions_buf()[po : po + pln])
+                    span_pos_len += pln
+                size += pl.docids.size
+                j += 1
+            merged_terms.append(term)
+            t_sizes.append(size)
+            if fdef.has_positions:
+                for part in pos_parts:
+                    pos_chunks.append(part.tobytes())
+                merged_pos.append((pos_off, span_pos_len))
+                pos_off += span_pos_len
+            else:
+                merged_pos.append((-1, 0))
+            i = j
+
+        if t_sizes:
+            p_docs = np.concatenate(p_docs_parts).astype(np.uint32)
+            p_tfs = np.concatenate(p_tfs_parts).astype(np.uint32)
+            p_norms = np.concatenate(p_norms_parts)
+            ends = np.cumsum(t_sizes)
+            starts = ends - np.asarray(t_sizes)
+            tf_cum = np.concatenate([[0], np.cumsum(p_tfs.astype(np.int64))])
+            blob, t_offs, t_lens = encode_postings_batch(
+                p_docs, p_tfs, p_norms, starts, ends
+            )
+            post_chunks.append(blob)
+            term_rows["field"].extend([fdef.name] * len(merged_terms))
+            term_rows["term"].extend(merged_terms)
+            term_rows["df"].extend(np.asarray(t_sizes).tolist())
+            term_rows["total_tf"].extend((tf_cum[ends] - tf_cum[starts]).tolist())
+            term_rows["post_off"].extend((t_offs + post_off).tolist())
+            term_rows["post_len"].extend(t_lens.tolist())
+            term_rows["pos_off"].extend(p for p, _l in merged_pos)
+            term_rows["pos_len"].extend(l for _p, l in merged_pos)
+            post_off += len(blob)
+        field_stats[fdef.name] = {
+            "total_tokens": sum(
+                r.info.field_stats.get(fdef.name, {}).get("total_tokens", 0)
+                for r in readers
+            ),
+            "num_terms": len(merged_terms),
+        }
+
+    terms_table = pa.table({
+        "field": pa.array(term_rows["field"], type=pa.string()),
+        "term": pa.array(term_rows["term"], type=pa.string()),
+        "df": pa.array(term_rows["df"], type=pa.uint32()),
+        "total_tf": pa.array(term_rows["total_tf"], type=pa.int64()),
+        "post_off": pa.array(term_rows["post_off"], type=pa.int64()),
+        "post_len": pa.array(term_rows["post_len"], type=pa.int64()),
+        "pos_off": pa.array(term_rows["pos_off"], type=pa.int64()),
+        "pos_len": pa.array(term_rows["pos_len"], type=pa.int64()),
+    })
+    pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
+    with open(os.path.join(tmp, POSTINGS_FILE), "wb") as f:
+        f.write(b"".join(post_chunks))
+    with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
+        f.write(b"".join(pos_chunks))
+    np.savez(os.path.join(tmp, NORMS_FILE), **norms_out)
+    stores = [r.store() for r in readers]
+    pq.write_table(pa.concat_tables(stores, promote_options="default"),
+                   os.path.join(tmp, STORE_FILE))
+
+    info = SegmentInfo(
+        segment_id=out_id,
+        num_docs=int(sum(r.num_docs for r in readers)),
+        field_stats=field_stats,
+        lineage={"merged_from": source_ids},
+        metrics={"postings_bytes": post_off, "positions_bytes": pos_off},
+        fieldnorm_codec=readers[0].codec.kind,
+    )
+    with open(os.path.join(tmp, META_FILE), "w") as f:
+        json.dump(info.to_json(), f)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(tmp)
+    else:
+        os.replace(tmp, out_dir)
+    return info
+
+
+@ray.remote
+class MergerActor:
+    """Actor-pool merger: one actor merges many groups sequentially,
+    amortizing process start; big streaming state stays actor-local."""
+
+    def merge(self, index_dir: str, schema_json: list, source_ids: list[str]) -> dict:
+        return merge_segment_group(index_dir, schema_json, source_ids).to_json()
+
+
+def merge_index(
+    index_dir: str,
+    group_size: int = 4,
+    num_actors: int = 4,
+    delete_sources: bool = True,
+) -> mf.Manifest:
+    """Compact an index: merge ordered segments in groups of ``group_size``
+    using an actor pool, then swap the manifest atomically."""
+    manifest = mf.read_manifest(index_dir)
+    ordered = manifest.ordered_segments()
+    if len(ordered) <= 1:
+        return manifest
+    groups = [
+        [s.segment_id for s in ordered[i : i + group_size]]
+        for i in range(0, len(ordered), group_size)
+    ]
+    schema_json = manifest.schema.to_json()
+    actors = [MergerActor.remote() for _ in range(min(num_actors, len(groups)))]
+    futs = []
+    for gi, group in enumerate(groups):
+        if len(group) == 1:
+            continue
+        futs.append(actors[gi % len(actors)].merge.remote(index_dir, schema_json, group))
+    merged_infos = [SegmentInfo.from_json(d) for d in ray.get(futs)]
+    for a in actors:
+        ray.kill(a)
+
+    merged_source_ids = {sid for g in groups if len(g) > 1 for sid in g}
+    keep = [s for s in manifest.segments if s.segment_id not in merged_source_ids]
+    new_manifest = mf.Manifest(
+        name=manifest.name,
+        schema=manifest.schema,
+        segments=keep + merged_infos,
+        opstamp=manifest.opstamp,
+        version=manifest.version + 1,
+    )
+    mf.write_manifest(index_dir, new_manifest)
+    if delete_sources:
+        for sid in merged_source_ids:
+            shutil.rmtree(mf.segment_path(index_dir, sid), ignore_errors=True)
+    return new_manifest

@@ -36,8 +36,8 @@ import pyarrow.parquet as pq
 
 from rayfts.analysis.analyzer import Analyzer
 from rayfts.codec.fieldnorm import FieldNormCodec
-from rayfts.codec.postings import PostingList, decode_postings, encode_postings
-from rayfts.codec.varint import decode_varints, encode_varints
+from rayfts.codec.postings import PostingList, decode_postings, encode_postings_batch
+from rayfts.codec.varint import decode_varints, encode_varints, varint_lengths
 from rayfts.index.schema import IndexSchema, TEXT
 
 TERMS_FILE = "terms.parquet"
@@ -87,6 +87,18 @@ def _encode_position_stream(pos_sorted: np.ndarray, run_starts: np.ndarray) -> n
     return deltas.astype(np.uint64)
 
 
+# per-worker-process analyzer cache: the Porter2 stem cache inside each
+# Analyzer amortizes across ALL segments a worker builds (Zipf vocab)
+_ANALYZERS: dict[str, Analyzer] = {}
+
+
+def _analyzer(name: str) -> Analyzer:
+    a = _ANALYZERS.get(name)
+    if a is None:
+        a = _ANALYZERS[name] = Analyzer(name)
+    return a
+
+
 def build_segment(
     table: pa.Table,
     schema: IndexSchema,
@@ -130,9 +142,7 @@ def build_segment(
     total_token_count = 0
 
     for fdef in schema.indexed_fields:
-        analyzer = analyzers.get(fdef.tokenizer)
-        if analyzer is None:
-            analyzer = analyzers[fdef.tokenizer] = Analyzer(fdef.tokenizer)
+        analyzer = analyzers.get(fdef.tokenizer) or _analyzer(fdef.tokenizer)
         if fdef.type == TEXT:
             texts = table[fdef.name].to_pylist() if fdef.name in table.column_names else [None] * n
         else:
@@ -140,9 +150,9 @@ def build_segment(
             texts = [None if v is None else str(v) for v in table[fdef.name].to_pylist()]
 
         tok_lists: list[list[str]] = []
-        pos_lists: list[list[int]] = []
+        pos_lists: list[list[int] | None] = []
         for txt in texts:
-            toks, poss = analyzer.tokens_positions(txt)
+            toks, poss = analyzer.tokens_positions_fast(txt)
             tok_lists.append(toks)
             pos_lists.append(poss)
         counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
@@ -161,9 +171,15 @@ def build_segment(
                 all_toks[k : k + len(toks)] = toks
                 k += len(toks)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        positions = np.fromiter(
-            (p for pl in pos_lists for p in pl), dtype=np.int64, count=total_tokens
-        )
+        # positions: identity (0..len-1) per doc unless the analyzer reported
+        # explicit ordinals (dropped tokens); identity built vectorized
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = np.arange(total_tokens, dtype=np.int64) - np.repeat(offsets, counts)
+        k = 0
+        for ci, pl in enumerate(pos_lists):
+            if pl is not None and len(pl):
+                positions[k : k + len(pl)] = pl
+            k += counts[ci]
 
         codes, uniques = pd.factorize(all_toks, sort=True)
         order = np.lexsort((positions, doc_idx, codes))
@@ -194,37 +210,47 @@ def build_segment(
         else:
             p_norms = np.zeros(p_docs.size, dtype=np.uint8)
 
+        nterms = t_starts.size
+        # all posting lists of this field encoded in ONE vectorized pass
+        blob, t_offs, t_lens = encode_postings_batch(
+            p_docs, tfs, p_norms, t_starts, t_ends
+        )
+        postings_chunks.append(blob)
+
+        # per-posting tf sums per term (vectorized)
+        tf_cum = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        term_total_tf = tf_cum[t_ends] - tf_cum[t_starts]
+
         want_positions = fdef.has_positions
         if want_positions:
+            # one whole-field position stream; per-term byte spans by cumsum
             pos_deltas = _encode_position_stream(s_pos, run_starts)
-        uniq_list = uniques.tolist()
+            pos_blob = encode_varints(pos_deltas)
+            positions_chunks.append(pos_blob)
+            pos_byte_cum = np.concatenate([[0], np.cumsum(varint_lengths(pos_deltas))])
+            term_tok_starts = run_starts[t_starts]
+            term_tok_ends = run_ends[t_ends - 1]
+            pos_offs = pos_off + pos_byte_cum[term_tok_starts]
+            pos_lens = pos_byte_cum[term_tok_ends] - pos_byte_cum[term_tok_starts]
+            pos_off += len(pos_blob)
+        else:
+            pos_offs = np.full(nterms, -1, dtype=np.int64)
+            pos_lens = np.zeros(nterms, dtype=np.int64)
 
-        for ti in range(t_starts.size):
-            a, b = t_starts[ti], t_ends[ti]
-            blob = encode_postings(p_docs[a:b], tfs[a:b], p_norms[a:b])
-            postings_chunks.append(blob)
-            term_rows["field"].append(fdef.name)
-            term_rows["term"].append(uniq_list[p_codes[a]])
-            term_rows["df"].append(int(b - a))
-            term_rows["total_tf"].append(int(tfs[a:b].sum()))
-            term_rows["post_off"].append(post_off)
-            term_rows["post_len"].append(len(blob))
-            post_off += len(blob)
-            if want_positions:
-                lo = run_starts[a]
-                hi = run_ends[b - 1]
-                pblob = encode_varints(pos_deltas[lo:hi])
-                positions_chunks.append(pblob)
-                term_rows["pos_off"].append(pos_off)
-                term_rows["pos_len"].append(len(pblob))
-                pos_off += len(pblob)
-            else:
-                term_rows["pos_off"].append(-1)
-                term_rows["pos_len"].append(0)
+        uniq_list = uniques.tolist()
+        term_rows["field"].extend([fdef.name] * nterms)
+        term_rows["term"].extend(uniq_list[c] for c in p_codes[t_starts])
+        term_rows["df"].extend((t_ends - t_starts).tolist())
+        term_rows["total_tf"].extend(term_total_tf.tolist())
+        term_rows["post_off"].extend((t_offs + post_off).tolist())
+        term_rows["post_len"].extend(t_lens.tolist())
+        term_rows["pos_off"].extend(pos_offs.tolist())
+        term_rows["pos_len"].extend(pos_lens.tolist())
+        post_off += len(blob)
 
         field_stats[fdef.name] = {
             "total_tokens": total_tokens,
-            "num_terms": int(t_starts.size),
+            "num_terms": int(nterms),
         }
 
     terms_table = pa.table(

@@ -24,8 +24,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from rayfts.codec.postings import BLOCK_SIZE, decode_postings, decode_skips
-from rayfts.codec.varint import decode_varints
+from rayfts.codec.postings import decode_skips
 from rayfts.index.schema import NUMERIC_TYPES
 from rayfts.index.segment import SegmentReader
 from rayfts.query import bm25
@@ -280,42 +279,11 @@ def _exec_fuzzy(q: Fuzzy, seg: SegmentReader, stats: GlobalStats) -> Matches:
 def _decode_blocks(seg: SegmentReader, field: str, ordinal: int, block_idx: np.ndarray):
     """Decode only the selected blocks of a posting list (skip-table
     random access): returns (docids, tfs) of those blocks."""
+    from rayfts.codec.postings import decode_blocks
+
     e = seg.term_dict(field)
     off, ln = int(e["post_off"][ordinal]), int(e["post_len"][ordinal])
-    raw = seg._postings_buf()[off : off + ln]
-    n, skips = decode_skips(raw)
-    nblocks = skips.size
-    skip_end = 8 + nblocks * skips.dtype.itemsize
-    docid_stream_start = skip_end
-    # per-block tf byte extents
-    counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
-    counts[-1] = n - BLOCK_SIZE * (nblocks - 1)
-    tf_bytes = (skips["tf_bits"].astype(np.int64) * counts + 7) // 8
-    tf_starts = docid_stream_start + int(
-        np.frombuffer(raw[4:8].tobytes(), dtype="<u4")[0]
-    ) + np.concatenate([[0], np.cumsum(tf_bytes)[:-1]])
-    docid_offs = np.append(
-        skips["docid_off"].astype(np.int64),
-        int(np.frombuffer(raw[4:8].tobytes(), dtype="<u4")[0]),
-    )
-    out_docs, out_tfs = [], []
-    from rayfts.codec.postings import _unpack_bits
-
-    for b in block_idx:
-        b = int(b)
-        lo = docid_stream_start + docid_offs[b]
-        hi = docid_stream_start + docid_offs[b + 1]
-        deltas = decode_varints(raw[lo:hi], count=int(counts[b]))
-        base = int(skips["last_docid"][b - 1]) if b > 0 else 0
-        docs = np.cumsum(deltas, dtype=np.uint64) + base
-        bits = int(skips["tf_bits"][b])
-        nb = int(tf_bytes[b])
-        tfs = _unpack_bits(raw[tf_starts[b] : tf_starts[b] + nb], int(counts[b]), bits) + 1
-        out_docs.append(docs.astype(np.uint32))
-        out_tfs.append(tfs)
-    if not out_docs:
-        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.uint32)
-    return np.concatenate(out_docs), np.concatenate(out_tfs)
+    return decode_blocks(seg._postings_buf()[off : off + ln], block_idx)
 
 
 def top_k_term_union(

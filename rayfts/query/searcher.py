@@ -145,9 +145,13 @@ class Searcher:
             return pairs
         return None
 
-    def top_k(self, q: Query | str | dict, limit: int = 10) -> list[Hit]:
+    def top_k(
+        self, q: Query | str | dict, limit: int = 10, stats: GlobalStats | None = None
+    ) -> list[Hit]:
+        """``stats`` override: distributed serving computes df across ALL
+        actors first and passes the summed map in (rayfts.query.serve)."""
         query = self._resolve(q)
-        stats = self.stats_for(query)
+        stats = stats or self.stats_for(query)
         pairs = self._union_terms(query)
         merged: list[tuple[float, int, int, int]] = []  # (-score, gdoc, seg_i, local)
         for si, reader in enumerate(self.readers):

@@ -1,0 +1,135 @@
+"""Query serving: a stateful Ray actor pool over index segments.
+
+The reference serves queries from a single process holding per-index
+reader/parser singletons behind a strictly serial stdio loop
+(``rpc.rs:121-131`` — one request at a time). Here each ``QueryActor``
+owns a *subset* of segments (mmapped posting files + lazily cached term
+dictionaries, loaded once in ``__init__``), and a ``SearchService``
+fans a query out to all actors and k-way-merges their per-shard top-k
+by (score desc, global docid asc) — SURVEY.md §2.3 #24 and §7.2.7.
+
+Statistics are searcher-level across the WHOLE index in every actor
+(each actor reads the full manifest but opens only its own segments),
+so scores are identical no matter how segments are sharded over actors.
+Reload-on-commit: ``refresh()`` re-reads the manifest and picks up newly
+committed segments (ReloadPolicy::OnCommit, ``index.rs:219``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from rayfts.index.manifest import read_manifest
+from rayfts.query.searcher import Searcher
+
+
+@ray.remote
+class QueryActor:
+    def __init__(self, index_dir: str, segment_ids: list[str]):
+        self.index_dir = index_dir
+        self.segment_ids = segment_ids
+        self.searcher = Searcher(index_dir, segment_ids=segment_ids)
+
+    def ready(self) -> bool:
+        return True
+
+    def refresh(self, segment_ids: list[str]) -> int:
+        """Adopt a new manifest version (and possibly more segments)."""
+        self.segment_ids = segment_ids
+        self.searcher = Searcher(self.index_dir, segment_ids=segment_ids)
+        return self.searcher.manifest.version
+
+    def partial_df(self, pairs: list[tuple[str, str]]) -> dict:
+        """Doc freqs over THIS actor's segments (summed service-side)."""
+        return self.searcher.global_df(pairs)
+
+    def top_k(self, query, limit: int, df: dict | None = None) -> list[tuple[float, int]]:
+        """Per-shard top-k -> (score, global docid) pairs (small).
+        ``df`` carries the cross-actor global doc freqs so BM25 idf is
+        searcher-level no matter how segments are sharded."""
+        from rayfts.query.exec import GlobalStats
+
+        stats = None
+        if df is not None:
+            stats = GlobalStats(
+                n_docs=self.searcher.n_docs, avgdl=self.searcher.avgdl, df=df
+            )
+        hits = self.searcher.top_k(query, limit, stats=stats)
+        return [(h.score, h.doc_id) for h in hits]
+
+    def count(self, query) -> int:
+        return self.searcher.count(query)
+
+    def fetch_docs(self, global_ids: list[int]) -> dict[int, dict]:
+        out = {}
+        for g in global_ids:
+            for si, seg in enumerate(self.searcher.segments):
+                off = self.searcher.offsets[seg.segment_id]
+                if off <= g < off + seg.num_docs:
+                    out[g] = self.searcher._fetch_doc(si, g - off)
+                    break
+        return out
+
+
+class SearchService:
+    """Fan-out/merge client. ``num_actors`` actors each own a contiguous
+    slice of the ordered segment list (contiguity keeps global-docid
+    ranges disjoint per actor, so doc fetch routes without broadcast)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        self.index_dir = index_dir
+        manifest = read_manifest(index_dir)
+        ordered = [s.segment_id for s in manifest.ordered_segments()]
+        num_actors = max(1, min(num_actors, len(ordered) or 1))
+        self.shards = [list(x) for x in np.array_split(ordered, num_actors)]
+        self.actors = [
+            QueryActor.remote(index_dir, shard) for shard in self.shards
+        ]
+        # a segment-less local searcher: manifest + parser only, used to
+        # resolve query strings and to collect the scored-term pairs
+        self._resolver = Searcher(index_dir, segment_ids=[])
+        ray.get([a.ready.remote() for a in self.actors])
+
+    def refresh(self) -> None:
+        manifest = read_manifest(self.index_dir)
+        ordered = [s.segment_id for s in manifest.ordered_segments()]
+        shards = [list(x) for x in np.array_split(ordered, len(self.actors))]
+        ray.get([a.refresh.remote(s) for a, s in zip(self.actors, shards)])
+        self.shards = shards
+
+    def search(self, query, limit: int = 10, fetch: bool = False):
+        """Global top-k in two fan-outs: (1) partial df per actor -> summed
+        searcher-level df; (2) per-actor top-k with the global stats;
+        merged by (score desc, global docid asc)."""
+        from rayfts.query.ast import collect_scored_terms
+
+        resolved = self._resolver._resolve(query)
+        pairs = collect_scored_terms(resolved)
+        df: dict = {}
+        for part in ray.get([a.partial_df.remote(pairs) for a in self.actors]):
+            for k, v in part.items():
+                df[k] = df.get(k, 0) + v
+        parts = ray.get([a.top_k.remote(resolved, limit, df) for a in self.actors])
+        merged = sorted(
+            ((-s, g, ai) for ai, part in enumerate(parts) for s, g in part)
+        )[:limit]
+        hits = [(-negs, g) for negs, g, _ai in merged]
+        if not fetch:
+            return hits
+        by_actor: dict[int, list[int]] = {}
+        for negs, g, ai in merged:
+            by_actor.setdefault(ai, []).append(g)
+        docs: dict[int, dict] = {}
+        for ai, gids in by_actor.items():
+            docs.update(ray.get(self.actors[ai].fetch_docs.remote(gids)))
+        return [(s, g, docs.get(g)) for s, g in hits]
+
+    def count(self, query) -> int:
+        return sum(ray.get([a.count.remote(query) for a in self.actors]))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -61,6 +61,50 @@ def test_skip_blockmax_metadata():
         assert skips[b]["min_norm"] == norms[lo:hi].min()
 
 
+def test_decode_blocks_random_access():
+    from rayfts.codec.postings import decode_blocks
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    docids = np.sort(rng.choice(np.arange(0, 50_000, dtype=np.uint32), n, replace=False))
+    tfs = rng.integers(1, 300, size=n).astype(np.uint32)
+    blob = encode_postings(docids, tfs)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    sel = np.array([0, 2, nblocks - 1])
+    docs, t = decode_blocks(blob, sel)
+    expect_docs, expect_tfs = [], []
+    for b in sel:
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        expect_docs.append(docids[lo:hi])
+        expect_tfs.append(tfs[lo:hi])
+    assert (docs == np.concatenate(expect_docs)).all()
+    assert (t == np.concatenate(expect_tfs)).all()
+
+
+def test_batch_encoder_matches_single():
+    from rayfts.codec.postings import encode_postings_batch
+
+    rng = np.random.default_rng(5)
+    # several terms of varying sizes, concatenated
+    sizes = [1, 2, 128, 129, 300, 7]
+    docs_parts, tf_parts, norm_parts = [], [], []
+    for s in sizes:
+        docs_parts.append(np.sort(rng.choice(np.arange(0, 10_000, dtype=np.uint32), s, replace=False)))
+        tf_parts.append(rng.integers(1, 50, size=s).astype(np.uint32))
+        norm_parts.append(rng.integers(0, 255, size=s).astype(np.uint8))
+    p_docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    norms = np.concatenate(norm_parts)
+    ends = np.cumsum(sizes)
+    starts = ends - np.asarray(sizes)
+    blob, offs, lens = encode_postings_batch(p_docs, tfs, norms, starts, ends)
+    for i, s in enumerate(sizes):
+        single = encode_postings(docs_parts[i], tf_parts[i], norm_parts[i])
+        assert blob[offs[i] : offs[i] + lens[i]] == single
+        pl = decode_postings(blob[offs[i] : offs[i] + lens[i]])
+        assert (pl.docids == docs_parts[i]).all() and (pl.tfs == tf_parts[i]).all()
+
+
 def test_empty_posting_list_rejected():
     with pytest.raises(ValueError):
         encode_postings(np.array([], dtype=np.uint32), np.array([], dtype=np.uint32))

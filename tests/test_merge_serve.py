@@ -1,0 +1,103 @@
+"""Actor-pool segment merging + query-serving actor pool."""
+
+import numpy as np
+import pytest
+
+from rayfts.index.build import build_index
+from rayfts.index.merge import merge_index, merge_segment_group, merged_segment_id
+from rayfts.index import manifest as mf
+from rayfts.query.searcher import Searcher
+from tests.test_build_ray import SF, doc_schema
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("merge") / "docs")
+    build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=6)
+    return path
+
+
+QUERIES = ["merge", "the", "spark window", "query AND batch", '"batch batch"']
+
+
+def snapshot(path):
+    s = Searcher(path)
+    return {
+        q: [(h["doc"]["doc_id"][0], round(h["score"], 12)) for h in s.query_string(q)]
+        for q in QUERIES
+    }
+
+
+def test_merge_preserves_results_and_docids(built, ray_session, tmp_path):
+    import shutil
+
+    path2 = str(tmp_path / "copy")
+    shutil.copytree(built, path2)
+    before = snapshot(path2)
+    m = merge_index(path2, group_size=3, num_actors=2)
+    assert len(m.segments) == 2
+    after = snapshot(path2)
+    assert before == after
+    # global docids preserved across the swap
+    s = Searcher(path2)
+    gids, _ = s.matches("merge")
+    s0 = Searcher(built)
+    gids0, _ = s0.matches("merge")
+    assert sorted(gids.tolist()) == sorted(gids0.tolist())
+
+
+def test_merge_deterministic(built, ray_session, tmp_path):
+    import hashlib
+    import os
+    import shutil
+
+    outs = []
+    man = mf.read_manifest(built)
+    ids = [s.segment_id for s in man.ordered_segments()][:3]
+    for trial, order in enumerate([ids, list(reversed(ids))]):
+        p = str(tmp_path / f"t{trial}")
+        shutil.copytree(built, p)
+        merge_segment_group(p, man.schema.to_json(), order)
+        seg = mf.segment_path(p, merged_segment_id(ids))
+        digest = hashlib.sha256()
+        for fname in ["postings.bin", "positions.bin", "terms.parquet"]:
+            digest.update(open(os.path.join(seg, fname), "rb").read())
+        outs.append(digest.hexdigest())
+    assert outs[0] == outs[1]
+
+
+def test_search_service_matches_local(built, ray_session):
+    from rayfts.query.serve import SearchService
+
+    svc = SearchService(built, num_actors=3)
+    local = Searcher(built)
+    try:
+        for q in QUERIES:
+            remote_hits = svc.search(q, limit=10)
+            local_hits = [(h.score, h.doc_id) for h in local.top_k(q, 10)]
+            assert [(round(s, 12), g) for s, g in remote_hits] == [
+                (round(s, 12), g) for s, g in local_hits
+            ], q
+        assert svc.count("the") == local.count("the")
+        hits = svc.search("merge", limit=3, fetch=True)
+        assert all(doc and "doc_id" in doc for _s, _g, doc in hits)
+    finally:
+        svc.shutdown()
+
+
+def test_service_refresh_on_commit(built, ray_session, tmp_path):
+    import shutil
+
+    from rayfts.query.serve import SearchService
+
+    path2 = str(tmp_path / "grow")
+    shutil.copytree(built, path2)
+    svc = SearchService(path2, num_actors=2)
+    try:
+        before = svc.count("the")
+        merge_index(path2, group_size=6, num_actors=1)
+        svc.refresh()
+        assert svc.count("the") == before
+    finally:
+        svc.shutdown()
