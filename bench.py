@@ -1,0 +1,313 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling``: run the identical index-build job twice in FRESH processes
+at two parallelism levels (num_cpus=8 then 32) on the same pre-generated
+synthetic source-code corpus (BASELINE.json input_hint shape) and report
+both throughputs plus scaling efficiency (recorded in BASELINE.md).
+
+This script OWNS its Ray session (ray.init/shutdown); library code never
+initializes Ray (driver contract, __ray_entry__.py docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_ROOT = "/tmp/rayfts_bench"
+CODE_CORPUS_DOCS = int(os.environ.get("RAYFTS_BENCH_DOCS", "30000"))
+SCALING_DOCS = int(os.environ.get("RAYFTS_SCALING_DOCS", "60000"))
+
+# reference-style query set over the synthetic code corpus vocabulary
+QUERY_SET = [
+    "merge", "the", "sort batch", "+merge +sort", "content:merge",
+    '"batch batch"', "-the merge", "stream", "shuffle partition",
+    "actor", "tokenize", "+stream -actor",
+]
+
+
+def _fresh_dir(name: str) -> str:
+    d = os.path.join(BENCH_ROOT, f"{name}-{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _code_schema():
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    return IndexSchema([
+        FieldDef("content", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("lang", "text", indexed=True, record="basic",
+                 tokenizer="raw", stored=True),
+        FieldDef("repo", "text", indexed=False, stored=True),
+        FieldDef("path", "text", indexed=False, stored=True),
+        FieldDef("commit", "text", indexed=False, stored=True),
+    ])
+
+
+def _docs_schema():
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    return IndexSchema([
+        FieldDef("text", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("lang", "text", indexed=False, stored=True),
+    ])
+
+
+def _corpus_dir(num_docs: int) -> str:
+    from rayfts.corpus import generate_corpus
+
+    return generate_corpus(
+        os.path.join(BENCH_ROOT, f"corpus-{num_docs}"), num_docs, seed=42
+    )
+
+
+def bench_code_build(num_docs: int) -> tuple[float, int, str]:
+    """Headline: index-build over the source-code corpus. Returns
+    (seconds, docs, index_dir). Corpus generation is cached, NOT timed."""
+    import glob
+
+    from rayfts.index.build import build_index
+
+    corpus = _corpus_dir(num_docs)
+    files = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
+    idx = _fresh_dir("code-index")
+    t0 = time.time()
+    build_index(files, idx, _code_schema(), index_name="code",
+                content_col="content", key_cols=["repo", "path", "commit"],
+                resume=False)
+    dt = time.time() - t0
+    return dt, num_docs, idx
+
+
+def bench_query_set(index_dir: str) -> dict[str, float]:
+    from rayfts.query.searcher import Searcher
+
+    s = Searcher(index_dir)
+    out = {}
+    # warm the readers (mmap + term dict load) once, like a serving process
+    s.query_string("merge", limit=10)
+    for q in QUERY_SET:
+        t0 = time.time()
+        s.query_string(q, limit=10)
+        out[q] = time.time() - t0
+    return out
+
+
+def bench_serve_pool(index_dir: str) -> float:
+    from rayfts.query.ast import Term
+    from rayfts.query.serve import SearchService
+
+    pool = SearchService(index_dir, num_actors=4)
+    pool.search(Term("content", "merge"), limit=10)  # warm
+    t0 = time.time()
+    for q in ["merge", "sort", "stream", "actor", "batch", "shuffle"]:
+        pool.search(Term("content", q), limit=10, fetch=True)
+    dt = time.time() - t0
+    pool.shutdown()
+    return dt
+
+
+def bench_sf_ops(sf_dir: str) -> dict[str, float]:
+    import ray.data
+
+    from rayfts.ops.ann import brute_force_topk
+    from rayfts.ops.dedup import exact_dedup, minhash_dedup_pairs
+    from rayfts.ops.termstats import top_terms
+
+    out = {}
+    docs = os.path.join(sf_dir, "documents.parquet")
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+
+    t0 = time.time()
+    top_terms(ray.data.read_parquet(docs), n=50, col="text", analyzer="default")
+    out["term_stats_top50"] = time.time() - t0
+
+    t0 = time.time()
+    exact_dedup(ray.data.read_parquet(docs), col="text", id_col="doc_id").count()
+    out["exact_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    minhash_dedup_pairs(ray.data.read_parquet(docs), threshold=0.5)
+    out["minhash_dedup"] = time.time() - t0
+
+    if os.path.exists(emb):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        qvec = np.asarray(pq.read_table(emb)["embedding"][0].as_py())
+        t0 = time.time()
+        brute_force_topk(ray.data.read_parquet(emb), qvec, k=10)
+        out["ann_brute_topk"] = time.time() - t0
+    return out
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    queries: dict[str, float] = {}
+
+    build_s, ndocs, idx = bench_code_build(CODE_CORPUS_DOCS)
+    queries["code_index_build"] = round(build_s, 3)
+    docs_per_sec = ndocs / build_s
+
+    qtimes = bench_query_set(idx)
+    queries["query_set_total"] = round(sum(qtimes.values()), 4)
+    for q, t in qtimes.items():
+        queries[f"q:{q}"] = round(t, 5)
+
+    queries["serve_pool_topk6"] = round(bench_serve_pool(idx), 4)
+
+    from rayfts.index.build import build_index
+
+    docs_idx = _fresh_dir("docs-index")
+    t0 = time.time()
+    build_index(os.path.join(sf_dir, "documents.parquet"), docs_idx,
+                _docs_schema(), index_name="documents", content_col="text",
+                key_cols=["doc_id"], resume=False)
+    queries["docs_index_build"] = round(time.time() - t0, 3)
+
+    for k, v in bench_sf_ops(sf_dir).items():
+        queries[k] = round(v, 3)
+
+    total = sum(v for k, v in queries.items() if not k.startswith("q:"))
+    result = {
+        "metric": "rayfts headline pipelines wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "build_docs_per_sec": round(docs_per_sec, 1),
+        "build_num_docs": ndocs,
+    }
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_scale_worker(num_cpus: int, num_docs: int) -> dict:
+    """One fresh-process measurement: build the pre-generated corpus at the
+    given parallelism; print docs/sec JSON on stdout's last line."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    build_s, ndocs, idx = bench_code_build(num_docs)
+    shutil.rmtree(idx, ignore_errors=True)
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "build_sec": round(build_s, 3),
+            "docs_per_sec": round(ndocs / build_s, 1), "num_docs": ndocs}
+
+
+def run_scaling(num_docs: int) -> dict:
+    # generate the shared corpus once, outside any timed region
+    _corpus_dir(num_docs)
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_worker",
+             str(cpus), "--docs", str(num_docs)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(proc.stdout, file=sys.stderr)
+            print(proc.stderr, file=sys.stderr)
+            raise RuntimeError(f"scale worker ({cpus} cpus) failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tp8 = results[8]["docs_per_sec"]
+    tp32 = results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    out = {
+        "metric": "index-build throughput scaling (N=8 vs 4N=32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "build_sec_8cpu": results[8]["build_sec"],
+            "build_sec_32cpu": results[32]["build_sec"],
+        },
+        "sf": f"synthetic code corpus, {num_docs} docs",
+        "num_cpus": 32,
+        "docs_per_sec_8cpu": tp8,
+        "docs_per_sec_32cpu": tp32,
+        "scaling_efficiency": round(eff, 3),
+    }
+    _record_scaling(out)
+    return out
+
+
+def _record_scaling(out: dict) -> None:
+    """Append/update the measured-scaling section of BASELINE.md."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "## Measured scaling result"
+    try:
+        text = open(path).read()
+    except OSError:
+        return
+    if marker in text:
+        text = text[: text.index(marker)].rstrip() + "\n"
+    text += (
+        f"\n{marker}\n\n"
+        f"`python bench.py --scaling` (fresh `ray.init` per level, same "
+        f"pre-generated corpus of {out['sf'].split(', ')[1]}):\n\n"
+        f"| num_cpus | build sec | docs/sec |\n|---|---|---|\n"
+        f"| 8 | {out['queries']['build_sec_8cpu']} | {out['docs_per_sec_8cpu']} |\n"
+        f"| 32 | {out['queries']['build_sec_32cpu']} | {out['docs_per_sec_32cpu']} |\n\n"
+        f"Scaling efficiency (throughput_32/throughput_8)/4 = "
+        f"**{out['scaling_efficiency']}** (target >= 0.8).\n"
+    )
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_worker", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--docs", type=int, default=SCALING_DOCS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF)
+    args = ap.parse_args()
+
+    if args._worker:
+        print(json.dumps(run_scale_worker(args._worker, args.docs)))
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.docs)))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_default(args.sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()
