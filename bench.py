@@ -35,11 +35,14 @@ CODE_CORPUS_DOCS = int(os.environ.get("RAYFTS_BENCH_DOCS", "30000"))
 SCALING_DOCS = int(os.environ.get("RAYFTS_SCALING_DOCS", "60000"))
 
 # reference-style query set over the synthetic code corpus vocabulary
+# (rayfts.corpus HOT_TOKENS + identifiers; "raise" stems to "rais" on both
+# the index and query side, so surface forms are used here)
 QUERY_SET = [
-    "merge", "the", "sort batch", "+merge +sort", "content:merge",
-    '"batch batch"', "-the merge", "stream", "shuffle partition",
-    "actor", "tokenize", "+stream -actor",
+    "match", "the", "struct impl", "+match +struct", "content:static",
+    '"the the"', "-the match", "return", "switch case",
+    "enum", "ident42", "+return -void",
 ]
+SERVE_TERMS = ["match", "struct", "return", "impl", "enum", "static"]
 
 
 def _fresh_dir(name: str) -> str:
@@ -106,7 +109,7 @@ def bench_query_set(index_dir: str) -> dict[str, float]:
     s = Searcher(index_dir)
     out = {}
     # warm the readers (mmap + term dict load) once, like a serving process
-    s.query_string("merge", limit=10)
+    s.query_string(SERVE_TERMS[0], limit=10)
     for q in QUERY_SET:
         t0 = time.time()
         s.query_string(q, limit=10)
@@ -119,9 +122,9 @@ def bench_serve_pool(index_dir: str) -> float:
     from rayfts.query.serve import SearchService
 
     pool = SearchService(index_dir, num_actors=4)
-    pool.search(Term("content", "merge"), limit=10)  # warm
+    pool.search(Term("content", SERVE_TERMS[0]), limit=10)  # warm
     t0 = time.time()
-    for q in ["merge", "sort", "stream", "actor", "batch", "shuffle"]:
+    for q in SERVE_TERMS:
         pool.search(Term("content", q), limit=10, fetch=True)
     dt = time.time() - t0
     pool.shutdown()

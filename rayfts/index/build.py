@@ -1,39 +1,50 @@
 """Distributed index build: a resumable Ray Data pipeline.
 
-    read_parquet (pruned columns)
-      -> map_batches(prep)            stateless, zero-copy Arrow:
-                                      content sha256, doc key, segment hash
-      -> [resume filter]              drop rows of already-committed segments
-      -> groupby(__seg).map_groups    one group = one segment: deterministic
-                                      sort by doc key, vectorized inversion
-                                      (factorize + lexsort), atomic
+Two partitioning modes:
+
+**``partition_mode="input"`` (default for parquet sources) — zero-shuffle.**
+The driver plans work units from parquet METADATA only (file x row-group
+spans, ~``target_docs_per_segment`` rows each); each unit is one segment
+built by one independent task::
+
+    from_items(units, one block per unit)
+      -> map_batches(build_unit)      read the unit's row groups (pruned
+                                      columns), sha256 + doc key, sort by
+                                      key, vectorized inversion, atomic
                                       tmp+rename segment write
       -> driver manifest commit       metadata-only, atomic (the reference's
                                       add_segments pattern, SURVEY.md §3.3)
 
-Design notes for cluster scale:
+No corpus bytes ever cross the object store — this is the reference's own
+scale-out design (independent segment construction + metadata-only commit,
+``/root/reference/test/segments.js:27-40``) and the only shape that works
+at 100 TB: an all-to-all shuffle of the raw corpus is never needed because
+segment membership can be *any* disjoint cover of the input. Resume =
+driver diffs planned unit ids against committed segment ids (metadata
+only); lineage (file, row-group span, row span, content checksum) and
+metrics live on each SegmentInfo.
 
-- Segment membership is ``sha256(doc_key) % num_segments`` — deterministic
-  under any execution order / parallelism, so docids, BM25 stats and
-  ranks are reproducible run-to-run (SURVEY.md §4 "ordering").
-- The groupby shuffle is hash-partitioned on ``__seg`` whose values are
-  uniform by construction (cryptographic hash of per-doc keys), so the
-  build's wide step has NO skew regardless of term distribution; hot
-  *terms* never cross the network at all — they are grouped inside each
-  segment task by in-memory factorize/lexsort. (The global term-partitioned
-  statistics pipeline with explicit hot-term salting lives in
-  ``rayfts.ops.termstats``.)
-- Resume: committed segments are read from the manifest and their rows
-  filtered out right after the read; a killed build therefore redoes only
-  uncommitted partitions. Lineage (key-hash domain, row count, content
-  checksum) and metrics live on each SegmentInfo.
-- Output is one directory per segment — never one giant file.
+**``partition_mode="hash"``** (for arbitrary Datasets, or when stable
+segment identity under input re-layout matters): segment membership is
+``sha256(doc_key) % num_segments`` — deterministic under any execution
+order / parallelism and any file layout — at the cost of one all-to-all
+``groupby(__seg)`` shuffle of the corpus. Key hashes are uniform by
+construction so the wide step has NO skew regardless of term
+distribution; hot *terms* never cross the network in either mode — they
+are grouped inside each segment task by in-memory factorize/lexsort.
+(The global term-partitioned statistics pipeline with explicit hot-term
+salting lives in ``rayfts.ops.termstats``.)
+
+In both modes docids are deterministic (in-segment order = doc-key sort;
+global offsets = manifest order, SURVEY.md §4 "ordering") and output is
+one directory per segment — never one giant file.
 """
 
 from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import time
 
 import numpy as np
@@ -95,6 +106,103 @@ def segment_name(seg: int, num_segments: int) -> str:
     return f"seg-{int(seg):06d}"
 
 
+# ---------------------------------------------------------------------------
+# partition_mode="input": metadata-only planning + zero-shuffle unit build
+# ---------------------------------------------------------------------------
+
+
+def plan_units(paths: list[str], target_rows: int) -> list[dict]:
+    """Driver-side, metadata-only: cover every (file, row-group) of the
+    input with disjoint units of ~``target_rows`` rows. Row groups are the
+    atomic I/O unit; a single huge row group is additionally split by row
+    span (each sub-unit re-reads that row group and slices — documented
+    tradeoff, only hit on pathological single-row-group files). The unit
+    id (= segment id) hashes the file path + spans, so replanning the same
+    input yields the same ids — that is what makes resume a pure set diff."""
+    import pyarrow.parquet as pq
+
+    units: list[dict] = []
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start = 0
+        while start < len(rg_rows):
+            acc, end = 0, start
+            while end < len(rg_rows) and (acc == 0 or acc + rg_rows[end] <= target_rows):
+                acc += rg_rows[end]
+                end += 1
+            spans = [(0, acc)]
+            if end - start == 1 and acc > 2 * target_rows:
+                # one oversized row group: split by row span
+                n_sub = (acc + target_rows - 1) // target_rows
+                per = (acc + n_sub - 1) // n_sub
+                spans = [(i * per, min((i + 1) * per, acc)) for i in range(n_sub)]
+            for lo, hi in spans:
+                sid = hashlib.sha256(
+                    f"{path}|{start}-{end}|{lo}-{hi}|v1".encode()
+                ).hexdigest()[:16]
+                units.append({
+                    "path": path, "rg_start": start, "rg_end": end,
+                    "row_lo": lo, "row_hi": hi, "rows": hi - lo,
+                    "segment_id": f"seg-{sid}",
+                })
+            start = end
+    return units
+
+
+def make_unit_builder(
+    index_dir: str,
+    schema_json: list,
+    fieldnorm_codec: str,
+    content_col: str,
+    key_cols: list[str] | None,
+    read_columns: list[str] | None,
+    fail_ids: frozenset[str] = frozenset(),
+):
+    """map_batches fn over unit descriptors (one unit per block): read the
+    unit's row groups with pruned columns, prep, build one segment."""
+    prep = make_prep_fn(content_col, key_cols, 1)
+
+    def build_unit(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        schema = IndexSchema.from_json(schema_json)
+        out = []
+        for u in batch.to_pylist():
+            if u["segment_id"] in fail_ids:
+                raise RuntimeError(f"injected failure for {u['segment_id']}")
+            pf = pq.ParquetFile(u["path"])
+            tbl = pf.read_row_groups(
+                list(range(u["rg_start"], u["rg_end"])), columns=read_columns
+            )
+            if (u["row_lo"], u["row_hi"]) != (0, tbl.num_rows):
+                tbl = tbl.slice(u["row_lo"], u["row_hi"] - u["row_lo"])
+            tbl = prep(tbl).drop_columns([SEG_COL])
+            sha_np = np.frombuffer(
+                b"".join(bytes.fromhex(s[:16]) for s in tbl[SHA_COL].to_pylist()),
+                dtype=np.uint64,
+            )
+            lineage = {
+                "path": u["path"],
+                "row_groups": [u["rg_start"], u["rg_end"]],
+                "row_span": [u["row_lo"], u["row_hi"]],
+                "rows": tbl.num_rows,
+                "content_xor": f"{int(np.bitwise_xor.reduce(sha_np)) if sha_np.size else 0:016x}",
+            }
+            info = build_segment(
+                tbl, schema, u["segment_id"],
+                mf.segment_path(index_dir, u["segment_id"]),
+                fieldnorm_codec=fieldnorm_codec,
+                order_by=[KEY_COL], lineage=lineage,
+            )
+            out.append(_json.dumps(info.to_json()))
+        return pa.table({"info": pa.array(out, type=pa.string())})
+
+    return build_unit
+
+
 def make_group_builder(
     index_dir: str,
     schema_json: list,
@@ -139,6 +247,20 @@ def make_group_builder(
     return build_group
 
 
+def _default_read_columns(
+    schema: IndexSchema, content_col: str, key_cols: list[str] | None,
+    available: list[str] | None = None,
+) -> list[str]:
+    """Column pruning for the read: schema fields + key/content columns."""
+    want = [f.name for f in schema.fields] + [content_col] + list(key_cols or [])
+    seen, out = set(), []
+    for c in want:
+        if c not in seen and (available is None or c in available):
+            seen.add(c)
+            out.append(c)
+    return out
+
+
 def build_index(
     source,
     index_dir: str,
@@ -151,24 +273,71 @@ def build_index(
     fieldnorm_codec: str = FieldNormCodec.TANTIVY_LIKE,
     resume: bool = True,
     columns: list[str] | None = None,
+    partition_mode: str | None = None,
+    target_docs_per_segment: int | None = None,
     _fail_segments: frozenset[int] = frozenset(),
 ) -> mf.Manifest:
     """Build (or resume building) an index from parquet paths or a Dataset.
+
+    ``partition_mode``: ``"input"`` (default for parquet paths) plans one
+    segment per (file, row-group-span) unit with NO corpus shuffle;
+    ``"hash"`` (default, and only option, for Dataset sources) routes rows
+    by ``sha256(doc_key) % num_segments`` through a ``groupby`` shuffle.
 
     Does NOT call ray.init(); Ray Data auto-initializes when standalone and
     the driver/bench own the session (driver contract, __ray_entry__.py).
     """
     t0 = time.time()
-    if isinstance(source, (str, list)):
-        ds = ray.data.read_parquet(source, columns=columns)
+    is_paths = isinstance(source, (str, list))
+    if partition_mode is None:
+        partition_mode = "input" if is_paths else "hash"
+    if partition_mode == "input" and not is_paths:
+        raise ValueError("partition_mode='input' requires parquet path(s)")
+
+    if is_paths:
+        paths = []
+        for p in ([source] if isinstance(source, str) else source):
+            if os.path.isdir(p):
+                paths.extend(
+                    os.path.join(p, f)
+                    for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+                )
+            else:
+                paths.append(p)
+        paths.sort()
     else:
         ds = source
 
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+
+    if partition_mode == "input":
+        import pyarrow.parquet as pq
+
+        total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        if target_docs_per_segment is None:
+            if num_segments:
+                target_docs_per_segment = max(1, -(-total_rows // num_segments))
+            else:
+                target_docs_per_segment = max(1024, -(-total_rows // (2 * cpus)))
+        units = plan_units(paths, target_docs_per_segment)
+        if columns is None:
+            avail = pq.ParquetFile(paths[0]).schema_arrow.names if paths else None
+            columns = _default_read_columns(schema, content_col, key_cols, avail)
+        return _build_from_units(
+            units, index_dir, schema, index_name=index_name,
+            content_col=content_col, key_cols=key_cols,
+            fieldnorm_codec=fieldnorm_codec, resume=resume,
+            read_columns=columns, t0=t0,
+            fail_ordinals=_fail_segments,
+        )
+
+    if is_paths:
+        ds = ray.data.read_parquet(paths, columns=columns)
+
     if num_segments is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
         num_segments = max(2 * cpus, 8)
 
     # open-or-create, and reconcile build params for resume
@@ -215,9 +384,13 @@ def build_index(
         ),
         batch_format="pyarrow",
     )
-    # stream segment infos and commit INCREMENTALLY: every completed
-    # partition becomes durable as soon as its info arrives, so a crashed
-    # driver/build loses only in-flight partitions (checkpoint semantics)
+    return _commit_stream(infos_ds, index_dir, t0)
+
+
+def _commit_stream(infos_ds, index_dir: str, t0: float) -> mf.Manifest:
+    """Stream segment infos and commit INCREMENTALLY: every completed
+    partition becomes durable as soon as its info arrives, so a crashed
+    driver/build loses only in-flight partitions (checkpoint semantics)."""
     import json as _json
 
     new_count = 0
@@ -240,3 +413,51 @@ def build_index(
         len(manifest.segments), new_count, manifest.num_docs, time.time() - t0,
     )
     return manifest
+
+
+def _build_from_units(
+    units: list[dict],
+    index_dir: str,
+    schema: IndexSchema,
+    *,
+    index_name: str,
+    content_col: str,
+    key_cols: list[str] | None,
+    fieldnorm_codec: str,
+    resume: bool,
+    read_columns: list[str] | None,
+    t0: float,
+    fail_ordinals: frozenset[int] = frozenset(),
+) -> mf.Manifest:
+    """Zero-shuffle build: one planned unit -> one segment -> one task."""
+    if mf.manifest_exists(index_dir):
+        manifest = mf.read_manifest(index_dir)
+        adopted = mf.recover_orphan_segments(index_dir, manifest)
+        if adopted:
+            logger.info("recovered %d orphan segment checkpoints", len(adopted))
+        if manifest.segments and not resume:
+            raise ValueError(f"index at {index_dir} already has segments and resume=False")
+        done = manifest.segment_ids()
+    else:
+        manifest = mf.Manifest(name=index_name, schema=schema)
+        mf.write_manifest(index_dir, manifest)
+        done = set()
+
+    fail_ids = frozenset(
+        u["segment_id"] for i, u in enumerate(units) if i in fail_ordinals
+    )
+    todo = [u for u in units if u["segment_id"] not in done]
+    if done:
+        logger.info("resume: %d/%d units already committed", len(units) - len(todo), len(units))
+    if not todo:
+        return mf.read_manifest(index_dir)
+
+    units_ds = ray.data.from_items(todo, override_num_blocks=len(todo))
+    infos_ds = units_ds.map_batches(
+        make_unit_builder(
+            index_dir, schema.to_json(), fieldnorm_codec,
+            content_col, key_cols, read_columns, fail_ids,
+        ),
+        batch_format="pyarrow",
+    )
+    return _commit_stream(infos_ds, index_dir, t0)

@@ -106,7 +106,7 @@ def test_resume_after_injected_failure(ray_session, tmp_path):
     with pytest.raises(Exception):
         build_index(f"{SF}/documents.parquet", path, doc_schema(),
                     content_col="text", key_cols=["doc_id"], num_segments=6,
-                    _fail_segments=frozenset({1, 4}))
+                    partition_mode="hash", _fail_segments=frozenset({1, 4}))
     # the atomically-renamed segment dirs ARE the checkpoints: some finished
     # partitions exist on disk even though the driver died before registering
     done_dirs = sorted(glob.glob(os.path.join(path, "segments", "seg-*")))
@@ -123,7 +123,8 @@ def test_resume_after_injected_failure(ray_session, tmp_path):
     mtimes = {d: os.path.getmtime(os.path.join(d, "postings.bin")) for d in done_dirs}
 
     m2 = build_index(f"{SF}/documents.parquet", path, doc_schema(),
-                     content_col="text", key_cols=["doc_id"], num_segments=6)
+                     content_col="text", key_cols=["doc_id"], num_segments=6,
+                     partition_mode="hash")
     assert len(m2.segments) == 6 and m2.num_docs == 500
     # previously committed partitions were adopted, not rebuilt
     for d in done_dirs:
@@ -131,9 +132,55 @@ def test_resume_after_injected_failure(ray_session, tmp_path):
     # resumed index ranks identically to a clean build
     clean = str(tmp_path / "clean")
     build_index(f"{SF}/documents.parquet", clean, doc_schema(),
-                content_col="text", key_cols=["doc_id"], num_segments=6)
+                content_col="text", key_cols=["doc_id"], num_segments=6,
+                partition_mode="hash")
     s1, s2 = Searcher(path), Searcher(clean)
     for q in ["merge", "filter batch"]:
         assert [
             (h["doc"]["doc_id"][0], h["score"]) for h in s1.query_string(q)
         ] == [(h["doc"]["doc_id"][0], h["score"]) for h in s2.query_string(q)]
+
+
+def test_input_mode_resume_and_parity(ray_session, tmp_path):
+    """Zero-shuffle input-partition build: planned units are the checkpoint
+    grain; a failed build resumes by unit-id set diff; ranks match the
+    hash-partitioned build (partitioning must not change BM25 results)."""
+    path = str(tmp_path / "iunits")
+    with pytest.raises(Exception):
+        build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                    content_col="text", key_cols=["doc_id"], num_segments=6,
+                    partition_mode="input", _fail_segments=frozenset({0, 3}))
+    done_dirs = sorted(
+        d for d in glob.glob(os.path.join(path, "segments", "seg-*"))
+        if not d.endswith(".tmp")
+    )
+    assert 0 < len(done_dirs) < 6
+    mtimes = {d: os.path.getmtime(os.path.join(d, "postings.bin")) for d in done_dirs}
+    for d in done_dirs:
+        meta = json.load(open(os.path.join(d, "segment.json")))
+        assert meta["lineage"]["path"].endswith("documents.parquet")
+        assert meta["lineage"]["rows"] > 0 and "content_xor" in meta["lineage"]
+
+    m2 = build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                     content_col="text", key_cols=["doc_id"], num_segments=6,
+                     partition_mode="input")
+    assert len(m2.segments) == 6 and m2.num_docs == 500
+    for d in done_dirs:  # committed units were skipped, not rebuilt
+        assert os.path.getmtime(os.path.join(d, "postings.bin")) == mtimes[d]
+
+    hashed = str(tmp_path / "ihash")
+    build_index(f"{SF}/documents.parquet", hashed, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=6,
+                partition_mode="hash")
+    s1, s2 = Searcher(path), Searcher(hashed)
+    # rank identity across partitionings is defined on (score, stable
+    # external id) — SURVEY.md §7.5(6): internal docid tie-breaks may
+    # permute equal-score docs (the reference's own docid order is itself
+    # nondeterministic), so compare score sequences and the doc sets above
+    # the boundary score.
+    for q in ["merge", "the", "filter batch", "query AND batch"]:
+        h1 = [(h["doc"]["doc_id"][0], round(h["score"], 5)) for h in s1.query_string(q)]
+        h2 = [(h["doc"]["doc_id"][0], round(h["score"], 5)) for h in s2.query_string(q)]
+        assert [s for _, s in h1] == [s for _, s in h2], q
+        boundary = h1[-1][1] if h1 else None
+        assert {d for d, s in h1 if s != boundary} == {d for d, s in h2 if s != boundary}, q
