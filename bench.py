@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_ROOT = "/tmp/rayfts_bench"
 CODE_CORPUS_DOCS = int(os.environ.get("RAYFTS_BENCH_DOCS", "30000"))
-SCALING_DOCS = int(os.environ.get("RAYFTS_SCALING_DOCS", "60000"))
+SCALING_DOCS = int(os.environ.get("RAYFTS_SCALING_DOCS", "480000"))
 
 # reference-style query set over the synthetic code corpus vocabulary
 # (rayfts.corpus HOT_TOKENS + identifiers; "raise" stems to "rais" on both
@@ -234,8 +234,14 @@ def run_scale_worker(num_cpus: int, num_docs: int) -> dict:
 
 
 def run_scaling(num_docs: int) -> dict:
-    # generate the shared corpus once, outside any timed region
+    # generate the shared corpus once, outside any timed region (with a
+    # temporary Ray session so shard generation is parallel)
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
     _corpus_dir(num_docs)
+    ray.shutdown()
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)

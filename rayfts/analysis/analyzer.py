@@ -179,6 +179,90 @@ class Analyzer:
                 toks = [cache[t] for t in toks]
         return toks, None
 
+    def analyze_text_column(self, arr) -> tuple:
+        """Arrow-native whole-column analysis — the index build's hot path.
+
+        Tokenize/filter/lower/stem an entire string column with C++ kernels
+        (RE2 split + dictionary_encode) so per-token work happens once per
+        UNIQUE surface token instead of once per occurrence. Exactly matches
+        :meth:`tokens_positions` on every row (property-tested).
+
+        Returns ``(codes, doc_idx, positions, uniques, counts)``:
+        ``codes`` int64 term ordinals into the sorted ``uniques`` vocabulary,
+        one entry per surviving token occurrence; ``doc_idx``/``positions``
+        parallel arrays (positions are pre-filter tokenizer ordinals);
+        ``counts`` = post-filter token count per doc (the fieldnorm input).
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        spec = self.spec
+        if spec.raw or spec.name == "whitespace":
+            raise ValueError("analyze_text_column supports regex-tokenized chains only")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        sp = pc.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}]+")
+        counts_all = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(sp)
+        total = len(flat)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int64), np.empty(0, dtype=object),
+                 np.zeros(n, np.int64))
+        if total == 0:
+            return empty
+        denc = flat.dictionary_encode()
+        ind = denc.indices.to_numpy().astype(np.int64)
+        uniq = denc.dictionary
+        ulen_bytes = pc.binary_length(uniq.cast(pa.binary())).to_numpy()
+        uraw = uniq.to_pylist()
+
+        nonempty_u = ulen_bytes > 0
+        keep_u = nonempty_u.copy()
+        if spec.remove_long is not None:
+            keep_u &= ulen_bytes < spec.remove_long
+        vals = pc.utf8_lower(uniq).to_pylist() if spec.lowercase else uraw
+        if spec.stemmer is not None:
+            cache = self._stem_cache
+            stem = porter2.stem
+            out = []
+            for keep, v in zip(keep_u, vals):
+                if not keep:
+                    out.append("")
+                    continue
+                s = cache.get(v)
+                if s is None:
+                    s = cache[v] = stem(v)
+                out.append(s)
+            vals = out
+        tvals = np.asarray(vals, dtype=object)
+
+        kept_vals = tvals[keep_u]
+        if kept_vals.size == 0:
+            return empty
+        final_uniques, inv = np.unique(kept_vals, return_inverse=True)
+        code_of_u = np.full(len(uraw), -1, dtype=np.int64)
+        code_of_u[keep_u] = inv
+        token_codes = code_of_u[ind]
+
+        doc_idx_all = np.repeat(np.arange(n, dtype=np.int64), counts_all)
+        starts = np.concatenate([[0], np.cumsum(counts_all)[:-1]])
+        m1 = nonempty_u[ind]
+        c = np.cumsum(m1)
+        base = c[starts] - m1[starts]
+        ordinals = (c - 1) - np.repeat(base, counts_all)
+
+        kept = token_codes >= 0
+        return (
+            token_codes[kept],
+            doc_idx_all[kept],
+            ordinals[kept],
+            final_uniques,
+            np.bincount(doc_idx_all[kept], minlength=n).astype(np.int64),
+        )
+
     def _raw_token_count(self, text) -> int:
         """Number of position ordinals one value consumes (pre-filter)."""
         if text is None:

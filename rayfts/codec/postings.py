@@ -115,8 +115,8 @@ def encode_postings_batch(
     skips["max_tf"] = np.maximum.reduceat(tfs, bstarts)
     skips["min_norm"] = np.minimum.reduceat(np.asarray(norms, dtype=np.uint8), bstarts)
 
-    docid_stream = np.frombuffer(encode_varints(deltas), dtype=np.uint8)
-    tf_stream = np.frombuffer(encode_varints(tfm1), dtype=np.uint8)
+    docid_stream = np.frombuffer(encode_varints(deltas, docid_len), dtype=np.uint8)
+    tf_stream = np.frombuffer(encode_varints(tfm1, tf_len), dtype=np.uint8)
     skip_bytes_all = skips.view(np.uint8).reshape(bstarts.size, SKIP_BYTES)
 
     d_t0 = docid_cum[t_starts]

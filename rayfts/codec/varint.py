@@ -11,42 +11,42 @@ import numpy as np
 
 
 def varint_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length of each value (vectorized)."""
+    """Encoded byte length of each value (vectorized; loop iterations are
+    bounded by the MAXIMUM value's width, so the common all-small streams
+    pay one compare)."""
     v = np.asarray(values, dtype=np.uint64)
-    tmp = v.copy()
     nbytes = np.ones(v.shape, dtype=np.int64)
-    for _ in range(9):
-        tmp >>= np.uint64(7)
-        nbytes += (tmp > 0).astype(np.int64)
+    if v.size == 0:
+        return nbytes
+    maxv = int(v.max())
+    bound = 1 << 7
+    while maxv >= bound:
+        nbytes += v >= np.uint64(bound)
+        bound <<= 7
     return nbytes
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array; vectorized (no per-value Python loop)."""
+def encode_varints(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
+    """LEB128-encode a uint64 array; vectorized (no per-value Python loop).
+
+    ``lengths``: precomputed :func:`varint_lengths` output (callers that
+    need per-value byte offsets anyway pass it in to avoid recomputation).
+    All-small streams (every value < 128 — the typical tf / small-delta
+    case) short-circuit to a single dtype cast.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bitlength/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 is unsafe at 2^53; use frexp on float won't cover u64.
-    # Compute by repeated shifting over the 10 possible 7-bit groups.
-    tmp = v.copy()
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for _ in range(9):
-        tmp >>= np.uint64(7)
-        nbytes += (tmp > 0).astype(np.int64)
-    del nbits, nz
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    # offsets of each value's first byte
+    nbytes = lengths if lengths is not None else varint_lengths(v)
+    maxb = int(nbytes.max())
+    if maxb == 1:
+        return v.astype(np.uint8).tobytes()
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    # For each byte slot j (0..9) write group j of values with nbytes > j.
-    for j in range(10):
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    # For each byte slot j write group j of the values with nbytes > j.
+    for j in range(maxb):
         mask = nbytes > j
-        if not mask.any():
-            break
         idx = starts[mask] + j
         group = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1) > j  # continuation bit

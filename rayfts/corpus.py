@@ -110,7 +110,7 @@ def generate_corpus(
     resumable layout); returns out_dir. Cached: existing complete dirs are
     reused (marker file records the params)."""
     marker = os.path.join(out_dir, "_COMPLETE")
-    want = f"{num_docs}|{seed}|{num_shards}|{skew}|v1"
+    want = f"{num_docs}|{seed}|{num_shards}|{skew}|v2"
     if os.path.isfile(marker) and open(marker).read() == want:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -123,12 +123,14 @@ def generate_corpus(
             s: gen.remote(s, c, seed, skew) for s, c in enumerate(counts) if c > 0
         }
         for s, fut in futs.items():
-            pq.write_table(ray.get(fut), os.path.join(out_dir, f"part-{s:04d}.parquet"))
+            pq.write_table(ray.get(fut), os.path.join(out_dir, f"part-{s:04d}.parquet"),
+                           row_group_size=2048)
     else:
         for s, c in enumerate(counts):
             if c > 0:
                 pq.write_table(generate_shard(s, c, seed, skew),
-                               os.path.join(out_dir, f"part-{s:04d}.parquet"))
+                               os.path.join(out_dir, f"part-{s:04d}.parquet"),
+                               row_group_size=2048)
     with open(marker, "w") as f:
         f.write(want)
     return out_dir

@@ -16,10 +16,11 @@ One segment directory holds:
     store.parquet   stored fields; row index == local docid
     segment.json    num_docs, per-field token totals, lineage, metrics
 
-The inversion is fully vectorized: tokenize per doc (C-regex + cached
-Porter2), then ``pandas.factorize`` + ``numpy.lexsort`` to group
-(term, doc) pairs — no Python loop over rows in the hot path other than
-the tokenizer's per-document regex findall.
+The inversion is fully vectorized: whole-column Arrow tokenization (RE2
+``split_pattern_regex`` + ``dictionary_encode``; lower/stem once per
+UNIQUE surface token — ``Analyzer.analyze_text_column``), then
+``numpy.lexsort`` to group (term, doc) pairs and one batch posting
+encode. No Python loop over rows or tokens in the hot path.
 """
 
 from __future__ import annotations
@@ -143,45 +144,64 @@ def build_segment(
 
     for fdef in schema.indexed_fields:
         analyzer = analyzers.get(fdef.tokenizer) or _analyzer(fdef.tokenizer)
-        if fdef.type == TEXT:
-            texts = table[fdef.name].to_pylist() if fdef.name in table.column_names else [None] * n
+        spec = analyzer.spec
+        col = table[fdef.name] if fdef.name in table.column_names else None
+        fast_ok = (
+            fdef.type == TEXT
+            and not spec.raw
+            and spec.name != "whitespace"
+            and col is not None
+            and (pa.types.is_string(col.type) or pa.types.is_large_string(col.type))
+        )
+        if fast_ok:
+            # Arrow-native whole-column path (RE2 split + dictionary_encode;
+            # per-UNIQUE-token filter/lower/stem) — the hot path.
+            codes, doc_idx, positions, uniq_arr, counts = (
+                analyzer.analyze_text_column(col)
+            )
+            uniques = uniq_arr
+            total_tokens = int(codes.size)
         else:
-            # numeric fields index their canonical string form as a raw term
-            texts = [None if v is None else str(v) for v in table[fdef.name].to_pylist()]
+            if fdef.type == TEXT:
+                texts = col.to_pylist() if col is not None else [None] * n
+            else:
+                # numeric fields index their canonical string form as a raw term
+                texts = [None if v is None else str(v) for v in table[fdef.name].to_pylist()]
 
-        tok_lists: list[list[str]] = []
-        pos_lists: list[list[int] | None] = []
-        for txt in texts:
-            toks, poss = analyzer.tokens_positions_fast(txt)
-            tok_lists.append(toks)
-            pos_lists.append(poss)
-        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            tok_lists: list[list[str]] = []
+            pos_lists: list[list[int] | None] = []
+            for txt in texts:
+                toks, poss = analyzer.tokens_positions_fast(txt)
+                tok_lists.append(toks)
+                pos_lists.append(poss)
+            counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            total_tokens = int(counts.sum())
+            if total_tokens:
+                all_toks = np.empty(total_tokens, dtype=object)
+                k = 0
+                for toks in tok_lists:
+                    if toks:
+                        all_toks[k : k + len(toks)] = toks
+                        k += len(toks)
+                doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                # positions: identity (0..len-1) per doc unless the analyzer
+                # reported explicit ordinals (dropped tokens)
+                offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                positions = np.arange(total_tokens, dtype=np.int64) - np.repeat(offsets, counts)
+                k = 0
+                for ci, pl in enumerate(pos_lists):
+                    if pl is not None and len(pl):
+                        positions[k : k + len(pl)] = pl
+                    k += counts[ci]
+                codes, uniques = pd.factorize(all_toks, sort=True)
+
         norms_out[fdef.name] = codec.encode(counts)
-        total_tokens = int(counts.sum())
         total_token_count += total_tokens
 
         if total_tokens == 0:
             field_stats[fdef.name] = {"total_tokens": 0, "num_terms": 0}
             continue
 
-        all_toks = np.empty(total_tokens, dtype=object)
-        k = 0
-        for toks in tok_lists:
-            if toks:
-                all_toks[k : k + len(toks)] = toks
-                k += len(toks)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        # positions: identity (0..len-1) per doc unless the analyzer reported
-        # explicit ordinals (dropped tokens); identity built vectorized
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        positions = np.arange(total_tokens, dtype=np.int64) - np.repeat(offsets, counts)
-        k = 0
-        for ci, pl in enumerate(pos_lists):
-            if pl is not None and len(pl):
-                positions[k : k + len(pl)] = pl
-            k += counts[ci]
-
-        codes, uniques = pd.factorize(all_toks, sort=True)
         order = np.lexsort((positions, doc_idx, codes))
         s_codes = codes[order]
         s_docs = doc_idx[order]
@@ -225,9 +245,10 @@ def build_segment(
         if want_positions:
             # one whole-field position stream; per-term byte spans by cumsum
             pos_deltas = _encode_position_stream(s_pos, run_starts)
-            pos_blob = encode_varints(pos_deltas)
+            pos_vlens = varint_lengths(pos_deltas)
+            pos_blob = encode_varints(pos_deltas, pos_vlens)
             positions_chunks.append(pos_blob)
-            pos_byte_cum = np.concatenate([[0], np.cumsum(varint_lengths(pos_deltas))])
+            pos_byte_cum = np.concatenate([[0], np.cumsum(pos_vlens)])
             term_tok_starts = run_starts[t_starts]
             term_tok_ends = run_ends[t_ends - 1]
             pos_offs = pos_off + pos_byte_cum[term_tok_starts]

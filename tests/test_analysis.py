@@ -90,3 +90,31 @@ def test_stem_cache_consistency():
     first = a.tokens("running running running")
     again = a.tokens("running")
     assert first == ["run", "run", "run"] and again == ["run"]
+
+
+def test_arrow_column_path_matches_row_path():
+    """The Arrow-native whole-column analyzer (build hot path) must produce
+    exactly the row-at-a-time chain's (token, position) stream per doc."""
+    import numpy as np
+    import pyarrow as pa
+
+    docs = [
+        "Hello world!", "Ola mundo!", None, "", "!!! --- ;;",
+        "héllo_wörld foo-bar", "x" * 45 + " ok short", "a1b2 C3 a1b2",
+        "日本語 テスト 123", "  leading and trailing  ",
+        "Running RUNS runner", "x" * 39 + " " + "y" * 40,
+        "the the the ident42_c7",
+    ]
+    for name in ["default", "en_stem"]:
+        a = Analyzer(name)
+        codes, doc_idx, positions, uniques, counts = a.analyze_text_column(
+            pa.array(docs, type=pa.large_string())
+        )
+        b = Analyzer(name)
+        for d, text in enumerate(docs):
+            toks, poss = b.tokens_positions(text)
+            m = doc_idx == d
+            got = [(uniques[c], int(p)) for c, p in zip(codes[m], positions[m])]
+            assert got == list(zip(toks, poss)), (name, d, text)
+            assert counts[d] == len(toks)
+        assert list(uniques) == sorted(set(uniques))
