@@ -205,16 +205,21 @@ class Analyzer:
         arr = pc.fill_null(arr, "")
         n = len(arr)
         sp = pc.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}]+")
-        counts_all = pc.list_value_length(sp).to_numpy().astype(np.int64)
+        counts_all = pc.list_value_length(sp).to_numpy().astype(np.int32)
         flat = pc.list_flatten(sp)
         total = len(flat)
-        empty = (np.empty(0, np.int64), np.empty(0, np.int64),
-                 np.empty(0, np.int64), np.empty(0, dtype=object),
+        # int32 throughout the token-level arrays: the inversion is memory-
+        # bandwidth-bound at full-node concurrency, so halving element width
+        # directly buys parallel efficiency (units are <2^31 tokens by plan)
+        empty = (np.empty(0, np.int32), np.empty(0, np.int32),
+                 np.empty(0, np.int32), np.empty(0, dtype=object),
                  np.zeros(n, np.int64))
         if total == 0:
             return empty
         denc = flat.dictionary_encode()
-        ind = denc.indices.to_numpy().astype(np.int64)
+        ind = denc.indices.to_numpy()
+        if ind.dtype != np.int32:
+            ind = ind.astype(np.int32)
         uniq = denc.dictionary
         ulen_bytes = pc.binary_length(uniq.cast(pa.binary())).to_numpy()
         uraw = uniq.to_pylist()
@@ -243,14 +248,14 @@ class Analyzer:
         if kept_vals.size == 0:
             return empty
         final_uniques, inv = np.unique(kept_vals, return_inverse=True)
-        code_of_u = np.full(len(uraw), -1, dtype=np.int64)
-        code_of_u[keep_u] = inv
+        code_of_u = np.full(len(uraw), -1, dtype=np.int32)
+        code_of_u[keep_u] = inv.astype(np.int32)
         token_codes = code_of_u[ind]
 
-        doc_idx_all = np.repeat(np.arange(n, dtype=np.int64), counts_all)
-        starts = np.concatenate([[0], np.cumsum(counts_all)[:-1]])
+        doc_idx_all = np.repeat(np.arange(n, dtype=np.int32), counts_all)
+        starts = np.concatenate([[0], np.cumsum(counts_all[:-1], dtype=np.int64)])
         m1 = nonempty_u[ind]
-        c = np.cumsum(m1)
+        c = np.cumsum(m1, dtype=np.int32)
         base = c[starts] - m1[starts]
         ordinals = (c - 1) - np.repeat(base, counts_all)
 

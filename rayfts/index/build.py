@@ -168,6 +168,13 @@ def make_unit_builder(
 
         import pyarrow.parquet as pq
 
+        # one task = one core: Arrow's intra-op pool defaults to ALL
+        # machine cores, which oversubscribes the node when Ray runs one
+        # task per CPU (and falsifies scaling measurements)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+
         schema = IndexSchema.from_json(schema_json)
         out = []
         for u in batch.to_pylist():
@@ -179,7 +186,11 @@ def make_unit_builder(
             )
             if (u["row_lo"], u["row_hi"]) != (0, tbl.num_rows):
                 tbl = tbl.slice(u["row_lo"], u["row_hi"] - u["row_lo"])
-            tbl = prep(tbl).drop_columns([SEG_COL])
+            # no doc-key sort in input mode: the unit's file row order IS
+            # deterministic (fixed file + row-group span), so local docids
+            # are reproducible without copying the table through a take();
+            # __key is likewise redundant here (lineage pins the row span)
+            tbl = prep(tbl).drop_columns([SEG_COL, KEY_COL])
             sha_np = np.frombuffer(
                 b"".join(bytes.fromhex(s[:16]) for s in tbl[SHA_COL].to_pylist()),
                 dtype=np.uint64,
@@ -195,7 +206,7 @@ def make_unit_builder(
                 tbl, schema, u["segment_id"],
                 mf.segment_path(index_dir, u["segment_id"]),
                 fieldnorm_codec=fieldnorm_codec,
-                order_by=[KEY_COL], lineage=lineage,
+                order_by=None, lineage=lineage,
             )
             out.append(_json.dumps(info.to_json()))
         return pa.table({"info": pa.array(out, type=pa.string())})
@@ -215,6 +226,9 @@ def make_group_builder(
     ``fail_segments`` injects faults for the kill-and-resume test."""
 
     def build_group(batch: pa.Table) -> pa.Table:
+        if pa.cpu_count() != 1:  # see make_unit_builder
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
         schema = IndexSchema.from_json(schema_json)
         seg = int(batch[SEG_COL][0].as_py())
         if seg in fail_segments:

@@ -202,7 +202,12 @@ def build_segment(
             field_stats[fdef.name] = {"total_tokens": 0, "num_terms": 0}
             continue
 
-        order = np.lexsort((positions, doc_idx, codes))
+        # one stable sort on the int32 term codes alone: the token stream is
+        # emitted doc-major with ascending positions, so stability yields
+        # the full (term, doc, position) order — the inversion is memory-
+        # bandwidth-bound at full-node concurrency and this is its cheapest
+        # possible ordering pass
+        order = np.argsort(codes, kind="stable")
         s_codes = codes[order]
         s_docs = doc_idx[order]
         s_pos = positions[order]
