@@ -321,10 +321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["term_stats_top50"] = top_terms_q
 
     def exact_dedup_q(sf):
-        from rayfts.ops.dedup import exact_dedup
+        from rayfts.ops.dedup import exact_dedup_ids
 
-        kept = exact_dedup(_docs_ds(sf), col="text", id_col="doc_id")
-        ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+        kept = exact_dedup_ids(_docs_ds(sf), col="text", id_col="doc_id")
+        ids = sorted(r["doc_id"] for r in kept.take_all())
         return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
     q["exact_dedup_kept"] = exact_dedup_q

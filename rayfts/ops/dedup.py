@@ -36,20 +36,65 @@ def add_sha_batch(batch: pa.Table, col: str) -> pa.Table:
     return batch.append_column("__sha", pa.array(shas, type=pa.string()))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Keep the smallest ``id_col`` row per distinct ``col`` value.
-    Hash-partitioned groupby on the content hash — uniform keys, no skew."""
+def _combine_min_per_sha(batch: pa.Table, id_col: str) -> pa.Table:
+    """Per-batch combiner: keep the min-id row per sha WITHIN the batch —
+    vectorized (sort + run-boundary take), no Python loop. Shrinks the
+    shuffle to at most one row per (batch, distinct sha)."""
+    order = pc.sort_indices(
+        batch, sort_keys=[("__sha", "ascending"), (id_col, "ascending")]
+    )
+    sorted_b = batch.take(order)
+    shas = sorted_b["__sha"].to_numpy(zero_copy_only=False)
+    first = np.empty(len(shas), dtype=bool)
+    if len(shas):
+        first[0] = True
+        first[1:] = shas[1:] != shas[:-1]
+    return sorted_b.filter(pa.array(first))
 
-    def first_wins(group: pa.Table) -> pa.Table:
-        i = pc.index(pc.equal(group[id_col], pc.min(group[id_col])), True).as_py()
-        return group.slice(i, 1)
 
+def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
+    """Scalable exact dedup: per-batch vectorized combiner, then a NATIVE
+    ``groupby(sha).min(id)`` aggregate (no per-group Python call — at
+    10^12 rows a map_groups callback per distinct document would dominate).
+    Returns a Dataset of kept ``id_col`` values (one per distinct content).
+    Uniform sha keys -> skew-free shuffle."""
     return (
         ds.map_batches(lambda b: add_sha_batch(b, col), batch_format="pyarrow")
+        .map_batches(lambda b: _combine_min_per_sha(b, id_col), batch_format="pyarrow")
+        .select_columns(["__sha", id_col])
         .groupby("__sha")
-        .map_groups(first_wins, batch_format="pyarrow")
-        .drop_columns(["__sha"])
+        .min(id_col)
+        .select_columns([f"min({id_col})"])
+        .rename_columns({f"min({id_col})": id_col})
     )
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Keep the smallest-``id_col`` FULL row per distinct ``col`` value.
+
+    Kept-id resolution is the scalable :func:`exact_dedup_ids` aggregate;
+    row recovery is a broadcast semi-join on the kept-id set (``ray.put``
+    once, probed per batch). For corpora whose kept-id set exceeds driver
+    memory, consume :func:`exact_dedup_ids` directly (ids stream out as a
+    Dataset) and recover rows with a partitioned join instead."""
+    kept = exact_dedup_ids(ds, col, id_col)
+    ids = np.sort(
+        np.concatenate([
+            b[id_col].to_numpy(zero_copy_only=False)
+            for b in kept.iter_batches(batch_format="pyarrow")
+        ] or [np.empty(0, np.int64)])
+    )
+    ids_ref = ray.put(ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        vals = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, vals)
+        pos[pos >= wanted.size] = 0
+        mask = wanted[pos] == vals if wanted.size else np.zeros(len(vals), bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
 
 
 # -- minhash LSH -----------------------------------------------------------
