@@ -418,10 +418,13 @@ class SegmentReader:
         off, ln = int(e["post_off"][ordinal]), int(e["post_len"][ordinal])
         return decode_postings(self._postings_buf()[off : off + ln])
 
-    def positions(self, field: str, ordinal: int, tfs: np.ndarray) -> list[np.ndarray]:
-        """Decode the position lists of a term: one array per posting, in
-        docid order. ``tfs`` = the posting list's tf array (defines run
-        boundaries in the delta stream)."""
+    def positions_flat(
+        self, field: str, ordinal: int, tfs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode ALL position lists of a term in one vectorized pass.
+        Returns ``(flat, starts, ends)``: absolute positions concatenated in
+        docid order; posting i's positions are ``flat[starts[i]:ends[i]]``.
+        ``tfs`` = the posting list's tf array (run boundaries)."""
         e = self._terms(field)
         off, ln = int(e["pos_off"][ordinal]), int(e["pos_len"][ordinal])
         if off < 0:
@@ -429,10 +432,15 @@ class SegmentReader:
         deltas = decode_varints(self._positions_buf()[off : off + ln]).astype(np.int64)
         ends = np.cumsum(tfs.astype(np.int64))
         starts = ends - tfs
-        out = []
-        for a, b in zip(starts, ends):
-            out.append(np.cumsum(deltas[a:b]))
-        return out
+        c = np.cumsum(deltas)
+        base = c[starts] - deltas[starts]
+        flat = c - np.repeat(base, tfs.astype(np.int64))
+        return flat, starts, ends
+
+    def positions(self, field: str, ordinal: int, tfs: np.ndarray) -> list[np.ndarray]:
+        """Per-posting position arrays (convenience over positions_flat)."""
+        flat, starts, ends = self.positions_flat(field, ordinal, tfs)
+        return [flat[a:b] for a, b in zip(starts, ends)]
 
     def term_dict(self, field: str) -> dict:
         """Expose the term dictionary arrays of a field (for range / regex /

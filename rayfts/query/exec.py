@@ -108,20 +108,25 @@ def _exec_phrase(q: Phrase, seg: SegmentReader, stats: GlobalStats) -> Matches:
         common = np.intersect1d(common, pl.docids, assume_unique=True)
     if common.size == 0:
         return _EMPTY
-    # decode positions only for the common docs
-    pos_lists = []
-    for pl, o in zip(pls, ordinals):
-        all_pos = seg.positions(q.field, o, pl.tfs)
+    # fully vectorized phrase matching on fused (doc_rank << 32 | position)
+    # keys: one intersect1d per phrase term instead of a Python loop over
+    # candidate docs (decisive for stop-word phrases with 10^5+ candidates)
+    def fused_keys(pl, o) -> np.ndarray:
+        flat, starts, ends = seg.positions_flat(q.field, o, pl.tfs)
         sel = np.searchsorted(pl.docids, common)
-        pos_lists.append([all_pos[i] for i in sel])
-    phrase_tfs = np.zeros(common.size, dtype=np.uint32)
-    for di in range(common.size):
-        cand = pos_lists[0][di]
-        for ti in range(1, len(q.terms)):
-            cand = np.intersect1d(cand + 1, pos_lists[ti][di], assume_unique=True)
-            if cand.size == 0:
-                break
-        phrase_tfs[di] = cand.size
+        lens = (ends[sel] - starts[sel]).astype(np.int64)
+        total = int(lens.sum())
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        take = np.repeat(starts[sel], lens) + (np.arange(total) - np.repeat(offs, lens))
+        doc_rank = np.repeat(np.arange(sel.size, dtype=np.int64), lens)
+        return (doc_rank << np.int64(32)) | flat[take]
+
+    cand = fused_keys(pls[0], ordinals[0]) + 1
+    for pl, o in zip(pls[1:], ordinals[1:]):
+        cand = np.intersect1d(cand, fused_keys(pl, o), assume_unique=True) + 1
+        if cand.size == 0:
+            return _EMPTY
+    phrase_tfs = np.bincount((cand - 1) >> np.int64(32), minlength=common.size).astype(np.uint32)
     keep = phrase_tfs > 0
     docids = common[keep].astype(np.uint32)
     if docids.size == 0:
