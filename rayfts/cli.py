@@ -1,0 +1,183 @@
+"""Command-line entrypoints — the ``ray job submit`` surface.
+
+The north rule requires builds "submitted via ray job submit on
+fixed-size multi-node clusters"; these commands are that job script::
+
+    ray job submit --working-dir . -- \
+        python -m rayfts.cli build \
+            --input 's3://corpus/part-*.parquet' --index /shared/idx \
+            --schema schema.json --content-col content \
+            --key-cols repo,path,commit
+
+    python -m rayfts.cli query  --index /shared/idx --query 'match AND struct' --limit 10
+    python -m rayfts.cli serve-query --index /shared/idx --query match --actors 8
+    python -m rayfts.cli merge  --index /shared/idx --group-size 8
+    python -m rayfts.cli info   --index /shared/idx
+
+Only this module (an owned script) calls ``ray.init`` — and only when Ray
+is not already initialised (inside ``ray job submit`` the cluster session
+exists; standalone it starts a local one). Library code never does
+(driver contract, ``__ray_entry__.py``).
+
+Schema files accept BOTH the reference's JSON shape
+(``/root/reference/test/lib/fixtures.js:15-48``) and the native terse
+shape (see ``rayfts.index.schema``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_schema(path_or_json: str):
+    from rayfts.index.schema import IndexSchema
+
+    if path_or_json.strip().startswith("["):
+        return IndexSchema.from_json(json.loads(path_or_json))
+    with open(path_or_json) as f:
+        return IndexSchema.from_json(json.load(f))
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from rayfts.index.build import build_index
+
+    paths = sorted(p for pat in args.input for p in glob.glob(pat)) or args.input
+    t0 = time.time()
+    manifest = build_index(
+        paths,
+        args.index,
+        _load_schema(args.schema),
+        index_name=args.name,
+        content_col=args.content_col,
+        key_cols=args.key_cols.split(",") if args.key_cols else None,
+        num_segments=args.num_segments,
+        partition_mode=args.partition_mode,
+        target_docs_per_segment=args.target_docs_per_segment,
+        resume=not args.no_resume,
+    )
+    dt = time.time() - t0
+    print(json.dumps({
+        "index": args.index, "segments": len(manifest.segments),
+        "docs": manifest.num_docs, "seconds": round(dt, 2),
+        "docs_per_sec": round(manifest.num_docs / dt, 1) if dt else None,
+    }))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ensure_ray()
+    from rayfts.query.searcher import Searcher
+
+    s = Searcher(args.index)
+    hits = s.query_string(args.query, limit=args.limit,
+                          snippet_field=args.snippet_field)
+    for h in hits:
+        print(json.dumps({"score": round(h["score"], 6), "doc": h["doc"],
+                          "snippet": h.get("snippet")}))
+    return 0
+
+
+def cmd_serve_query(args) -> int:
+    """One-shot query through the distributed actor-pool path (the serving
+    architecture; long-running deployments keep the SearchService alive)."""
+    _ensure_ray()
+    from rayfts.query.serve import SearchService
+
+    svc = SearchService(args.index, num_actors=args.actors)
+    for score, gid, doc in svc.search(args.query, limit=args.limit, fetch=True):
+        print(json.dumps({"score": round(score, 6), "docid": int(gid), "doc": doc}))
+    svc.shutdown()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ensure_ray()
+    from rayfts.index.merge import merge_index
+
+    t0 = time.time()
+    manifest = merge_index(args.index, group_size=args.group_size,
+                           num_actors=args.concurrency)
+    print(json.dumps({
+        "index": args.index, "segments": len(manifest.segments),
+        "docs": manifest.num_docs, "seconds": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from rayfts.index.manifest import read_manifest
+
+    m = read_manifest(args.index)
+    print(json.dumps({
+        "name": m.name, "version": m.version, "opstamp": m.opstamp,
+        "docs": m.num_docs, "segments": [
+            {"id": s.segment_id, "docs": s.num_docs,
+             "lineage": s.lineage, "metrics": s.metrics}
+            for s in m.ordered_segments()
+        ],
+    }, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rayfts")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build or resume an index (ray job entrypoint)")
+    b.add_argument("--input", nargs="+", required=True, help="parquet paths/globs")
+    b.add_argument("--index", required=True)
+    b.add_argument("--schema", required=True, help="schema JSON file or inline JSON")
+    b.add_argument("--name", default="index")
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--key-cols", default=None, help="comma-separated doc-key columns")
+    b.add_argument("--num-segments", type=int, default=None)
+    b.add_argument("--partition-mode", choices=["input", "hash"], default=None)
+    b.add_argument("--target-docs-per-segment", type=int, default=None)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="string query against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--limit", type=int, default=10)
+    q.add_argument("--snippet-field", default=None)
+    q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser("serve-query", help="query via the actor-pool service")
+    sq.add_argument("--index", required=True)
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--limit", type=int, default=10)
+    sq.add_argument("--actors", type=int, default=4)
+    sq.set_defaults(fn=cmd_serve_query)
+
+    m = sub.add_parser("merge", help="merge small segments (actor pool)")
+    m.add_argument("--index", required=True)
+    m.add_argument("--group-size", type=int, default=8)
+    m.add_argument("--concurrency", type=int, default=4)
+    m.set_defaults(fn=cmd_merge)
+
+    i = sub.add_parser("info", help="print manifest (segments, lineage, metrics)")
+    i.add_argument("--index", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
