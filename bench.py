@@ -330,9 +330,61 @@ def _record_scaling(out: dict) -> None:
         f.write(text)
 
 
+def run_skew(num_docs: int) -> dict:
+    """Stop-word-heavy variant (30% of all tokens are 'the'): the build is
+    doc-partitioned (zero-shuffle) so it must be skew-immune, and the
+    term-partitioned stats shuffle must stay level thanks to pre-aggregated
+    salted partials (SURVEY.md §4 skew row). Reports both corpora."""
+    import glob
+
+    import ray
+    import ray.data
+
+    from rayfts.corpus import generate_corpus
+    from rayfts.ops.termstats import top_terms
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out: dict[str, float] = {}
+    for label, skew in (("uniform", False), ("skew", True)):
+        corpus = generate_corpus(
+            os.path.join(BENCH_ROOT, f"corpus-{label}-{num_docs}"),
+            num_docs, seed=42, skew=skew,
+        )
+        files = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
+        from rayfts.index.build import build_index
+
+        idx = _fresh_dir(f"{label}-idx")
+        t0 = time.time()
+        build_index(files, idx, _code_schema(), index_name=label,
+                    content_col="content", key_cols=["repo", "path", "commit"],
+                    resume=False, target_docs_per_segment=7500)
+        out[f"build_{label}_sec"] = round(time.time() - t0, 3)
+        shutil.rmtree(idx, ignore_errors=True)
+
+        t0 = time.time()
+        top_terms(ray.data.read_parquet(files), n=10, col="content",
+                  analyzer="en_stem", salt_buckets=8)
+        out[f"term_shuffle_{label}_sec"] = round(time.time() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": "skew immunity (stop-word-heavy vs uniform corpus)",
+        "value": round(out["build_skew_sec"] / out["build_uniform_sec"], 3),
+        "unit": "slowdown_ratio",
+        "queries": out,
+        "sf": f"synthetic code corpus, {num_docs} docs, 30% 'the' in skew variant",
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--_worker", type=int, default=0, help=argparse.SUPPRESS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF)
@@ -343,6 +395,9 @@ def main() -> None:
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.docs)))
+        return
+    if args.skew:
+        print(json.dumps(run_skew(int(os.environ.get("RAYFTS_SKEW_DOCS", "120000")))))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     print(json.dumps(run_default(args.sf_dir, num_cpus)))

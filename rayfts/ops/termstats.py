@@ -26,7 +26,7 @@ class TokenizePartials:
     """Actor-pool stage: analyzer built once per actor; emits per-batch
     partial term stats."""
 
-    def __init__(self, col: str = "text", analyzer: str = "en_stem", salt_buckets: int = 8):
+    def __init__(self, col: str = "text", analyzer: str = "en_stem", salt_buckets: int = 1):
         self.col = col
         self.analyzer = Analyzer(analyzer)
         self.salt_buckets = salt_buckets
@@ -73,26 +73,65 @@ def term_stats_ds(
     ds,
     col: str = "text",
     analyzer: str = "en_stem",
-    salt_buckets: int = 8,
-    concurrency: int = 4,
+    salt_buckets: int = 1,
+    concurrency: int | tuple | None = None,
 ):
     """Lazy Dataset of (term, df, cf) over the corpus. Two-level reduce:
     salted partials -> per-(term,salt) sums -> per-term sums. Stays
     distributed — consume with sort/limit/write, never a driver collect."""
-    from ray.data.aggregate import Sum
+    import ray
 
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = (1, cpus)  # autoscale the tokenizer actor pool
     partials = ds.map_batches(
         TokenizePartials,
         fn_constructor_kwargs={"col": col, "analyzer": analyzer, "salt_buckets": salt_buckets},
         batch_format="pyarrow",
+        batch_size=8192,  # wide batches = strong pre-aggregation (a term
+        # appears once per batch row-wise; Zipf vocab grows sublinearly)
         concurrency=concurrency,
     )
-    salted = partials.groupby(["term", "salt"]).aggregate(
-        Sum("partial_df", alias_name="df_s"), Sum("partial_cf", alias_name="cf_s")
-    )
-    return salted.groupby("term").aggregate(
-        Sum("df_s", alias_name="df"), Sum("cf_s", alias_name="cf")
-    )
+    # Reduce: hash-partition the partial rows on an int key (uniform by
+    # construction -> skew-free even for stop words, whose partials are
+    # already one row per batch), then ONE Arrow C++ group_by per
+    # partition. This replaces Ray's generic string-key Aggregate, which
+    # costs two orders of magnitude more per row. The salt column further
+    # subdivides a term across reducers when salt_buckets > 1 (extreme
+    # corpus sizes where even one-row-per-batch partials overload a key).
+    num_reducers = max(8, int(concurrency[1] if isinstance(concurrency, tuple) else concurrency))
+
+    def fold(ds_in, df_col: str, cf_col: str, with_salt: bool):
+        def tag(b: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(b["term"].to_numpy(zero_copy_only=False))
+            if with_salt:
+                h = h + b["salt"].to_numpy().astype(np.uint64)
+            part = (h % num_reducers).astype(np.int32)
+            return b.append_column("part", pa.array(part, type=pa.int32()))
+
+        def reduce_part(g: pa.Table) -> pa.Table:
+            agg = g.select(["term", df_col, cf_col]).group_by("term").aggregate(
+                [(df_col, "sum"), (cf_col, "sum")]
+            )
+            return pa.table({  # name-keyed (group_by column order varies)
+                "term": agg["term"],
+                "df": agg[f"{df_col}_sum"],
+                "cf": agg[f"{cf_col}_sum"],
+            })
+
+        return (
+            ds_in.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(reduce_part, batch_format="pyarrow")
+        )
+
+    first = fold(partials, "partial_df", "partial_cf", with_salt=salt_buckets > 1)
+    if salt_buckets > 1:
+        return fold(first, "df", "cf", with_salt=False)
+    return first
 
 
 def term_stats(ds, **kw) -> "pd.DataFrame":
