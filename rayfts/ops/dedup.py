@@ -109,16 +109,29 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_POLY_BASE = np.uint64(1099511628211)
+
+
+def _poly_shingles(h: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hash of every k-token window of a token-hash array
+    (vectorized, mod 2^64); <k tokens hash as one window over all."""
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    kk = min(k, h.size)
+    with np.errstate(over="ignore"):
+        powers = np.empty(kk, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, kk):
+            powers[i] = powers[i - 1] * _POLY_BASE
+        win = np.lib.stride_tricks.sliding_window_view(h, kk)
+        return (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Hashes of token k-gram shingles (uint64, unique)."""
-    toks = _tokens(text)
-    if len(toks) < k:
-        joined = ["\x1f".join(toks)] if toks else []
-    else:
-        joined = ["\x1f".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not joined:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(_token_hashes(joined))
+    return np.unique(_poly_shingles(_token_hashes(_tokens(text)), k))
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -126,66 +139,141 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     (a*x+b) mod 2^61-1, vectorized num_perm x n)."""
     if sh.size == 0:
         return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (P, n) = a[:,None]*sh[None,:] + b — mod-2^64 wraparound then mod mersenne
-    prod = a[:, None] * sh[None, :] + b[:, None]
+    with np.errstate(over="ignore"):
+        prod = a[:, None] * sh[None, :] + b[:, None]
     prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
     prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
     return prod.min(axis=1)
 
 
-class MinHashStage:
-    """Actor-pool stage: permutation params built once per actor."""
+class MinHashBands:
+    """Actor-pool stage: (docs) -> (band_id, band_hash, doc_id) LSH rows.
 
-    def __init__(self, col: str = "text", num_perm: int = 64, k: int = 3, seed: int = 42):
+    Fully vectorized per batch: Arrow RE2 tokenization, per-UNIQUE-token
+    md5, rolling polynomial shingles, per-permutation ``minimum.reduceat``
+    signatures, FNV band folding. Permutation params built once per actor.
+    """
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+        assert num_perm % bands == 0
         self.col = col
+        self.id_col = id_col
         self.k = k
+        self.bands = bands
         self.a, self.b = _perm_params(num_perm, seed)
+        self._uniq_cache: dict[str, np.ndarray] = {}
+
+    def _signatures(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        import pyarrow.compute as pc2
+
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        arr = pc2.fill_null(arr, "")
+        n = len(arr)
+        sp = pc2.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}]+")
+        counts = pc2.list_value_length(sp).to_numpy().astype(np.int64)
+        flat = pc2.utf8_lower(pc2.list_flatten(sp))
+        denc = flat.dictionary_encode()
+        ind = denc.indices.to_numpy().astype(np.int64)
+        uniq = denc.dictionary.to_pylist()
+        cache = self._uniq_cache
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            v = cache.get(t)
+            if v is None:
+                v = cache[t] = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            uh[i] = v
+        nonempty = np.array([len(t) > 0 for t in uniq], dtype=bool)
+
+        tok_h = uh[ind]
+        keep = nonempty[ind]
+        doc_all = np.repeat(np.arange(n, dtype=np.int64), counts)
+        tok_h, doc_idx = tok_h[keep], doc_all[keep]
+
+        P = self.a.size
+        MAX = np.iinfo(np.uint64).max
+        sig = np.full((n, P), MAX, dtype=np.uint64)
+        if tok_h.size == 0:
+            return sig
+        tok_counts = np.bincount(doc_idx, minlength=n)
+        # shingles per doc laid out contiguously (doc-major token order)
+        sh_counts = np.maximum(tok_counts - (self.k - 1), (tok_counts > 0).astype(np.int64))
+        # windows that stay inside one doc: per-doc poly windows via one
+        # global sliding window + validity mask (window start's doc ==
+        # window end's doc); short docs handled by a per-doc tail window
+        sh_list = []
+        sh_doc = []
+        starts = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
+        for d in np.flatnonzero(tok_counts):  # per-doc slices, numpy inner
+            h = tok_h[starts[d]: starts[d] + tok_counts[d]]
+            s = _poly_shingles(h, self.k)
+            sh_list.append(s)
+            sh_doc.append(np.full(s.size, d, dtype=np.int64))
+        sh = np.concatenate(sh_list)
+        sh_doc = np.concatenate(sh_doc)
+        run_starts = np.flatnonzero(np.concatenate([[True], sh_doc[1:] != sh_doc[:-1]]))
+        run_docs = sh_doc[run_starts]
+        with np.errstate(over="ignore"):
+            for p in range(P):
+                v = self.a[p] * sh + self.b[p]
+                v = (v & _MERSENNE) + (v >> np.uint64(61))
+                v = np.where(v >= _MERSENNE, v - _MERSENNE, v)
+                sig[run_docs, p] = np.minimum.reduceat(v, run_starts)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            minhash_signature(shingle_hashes(t or "", self.k), self.a, self.b)
-            for t in batch[self.col].to_pylist()
-        ]
-        arr = pa.array([s.astype(np.int64).tolist() for s in sigs],
-                       type=pa.list_(pa.int64()))
-        return batch.append_column("minhash", arr)
+        sig = self._signatures(batch[self.col])
+        n, P = sig.shape
+        bands = self.bands
+        r = P // bands
+        # FNV-fold each band's r signature values -> (n, bands) band hashes
+        bh = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        band_vals = sig.reshape(n, bands, r)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                bh ^= band_vals[:, :, j]
+                bh *= _FNV_PRIME
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array((bh >> np.uint64(1)).astype(np.int64).ravel()),
+            self.id_col: pa.array(np.repeat(ids, bands)),
+        })
 
 
-def explode_bands(batch: pa.Table, bands: int, id_col: str = "doc_id") -> pa.Table:
-    """(doc) -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
-    sigs = batch["minhash"].to_pylist()
-    ids = batch[id_col].to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for sig, did in zip(sigs, ids):
-        r = len(sig) // bands
-        for b in range(bands):
-            chunk = sig[b * r : (b + 1) * r]
-            h = int.from_bytes(
-                hashlib.md5(np.asarray(chunk, dtype=np.int64).tobytes()).digest()[:8],
-                "big", signed=False) >> 1
-            out_band.append(b)
-            out_hash.append(h)
-            out_id.append(did)
-    return pa.table({
-        "band_id": pa.array(out_band, type=pa.int32()),
-        "band_hash": pa.array(out_hash, type=pa.int64()),
-        id_col: pa.array(out_id),
-    })
-
-
-def candidate_pairs_from_bucket(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    ids = sorted(group[id_col].to_pylist())
-    a, b = [], []
-    # buckets are tiny under uniform hashing; cap degenerate buckets so one
-    # pathological bucket cannot emit O(n^2) pairs (documented truncation)
-    cap = 200
-    ids = ids[:cap]
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                     "id_b": pa.array(b, type=pa.int64())})
+def candidate_pairs_partition(part: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Vectorized bucket pairing over one hash PARTITION of band rows (many
+    buckets per call — never one Python call per bucket): sort by (band_id,
+    band_hash), detect equal-key runs, emit pairwise combinations only for
+    the runs with >= 2 members (rare under uniform hashing). Degenerate
+    buckets are capped at 200 members so one pathological hash cannot emit
+    O(n^2) pairs (documented truncation)."""
+    if part.num_rows == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64())})
+    order = pc.sort_indices(
+        part, sort_keys=[("band_id", "ascending"), ("band_hash", "ascending"),
+                         (id_col, "ascending")]
+    )
+    t = part.take(order)
+    bid = t["band_id"].to_numpy()
+    bh = t["band_hash"].to_numpy()
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    new_run = np.concatenate([[True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(ids))
+    a_out, b_out = [], []
+    for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+        run = ids[s:min(e, s + 200)]
+        iu, ju = np.triu_indices(run.size, k=1)
+        a_out.append(run[iu])
+        b_out.append(run[ju])
+    if not a_out:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64())})
+    return pa.table({"id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                     "id_b": pa.array(np.concatenate(b_out), type=pa.int64())})
 
 
 def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -214,14 +302,25 @@ def minhash_dedup_pairs(
     verification: semi-join of candidate ids via broadcast set (no shuffle
     join), exact Jaccard on the pair texts.
     """
-    sigged = ds.map_batches(
-        MinHashStage, fn_constructor_kwargs={"col": col, "num_perm": num_perm, "k": k},
+    band_rows = ds.map_batches(
+        MinHashBands,
+        fn_constructor_kwargs={"col": col, "id_col": id_col,
+                               "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow", concurrency=concurrency,
     )
+    import pandas as pd
+
+    def tag_part(b: pa.Table) -> pa.Table:
+        h = (b["band_hash"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + b["band_id"].to_numpy().astype(np.uint64))
+        return b.append_column(
+            "part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
     pairs_ds = (
-        sigged.map_batches(lambda b: explode_bands(b, bands, id_col), batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: candidate_pairs_from_bucket(g, id_col), batch_format="pyarrow")
+        band_rows.map_batches(tag_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: candidate_pairs_partition(g, id_col), batch_format="pyarrow")
     )
     pairs = pairs_ds.to_pandas()
     if len(pairs) == 0:
@@ -281,36 +380,64 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
     hashed = ds.map_batches(lambda b: simhash_batch(b, col), batch_format="pyarrow")
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hs = [(v + (1 << 63)) for v in batch["simhash"].to_pylist()]
-        ob, obh, oid, ohash = [], [], [], []
-        for did, h in zip(ids, hs):
-            for b in range(4):
-                ob.append(b)
-                obh.append((h >> (16 * b)) & 0xFFFF)
-                oid.append(did)
-                ohash.append(h - (1 << 63))
-        return pa.table({"band_id": pa.array(ob, type=pa.int32()),
-                         "band_hash": pa.array(obh, type=pa.int64()),
-                         id_col: pa.array(oid, type=pa.int64()),
-                         "simhash": pa.array(ohash, type=pa.int64())})
+        # vectorized: 4 x 16-bit band rows per doc + partition tag
+        n = batch.num_rows
+        h = batch["simhash"].to_numpy().astype(np.int64).astype(np.uint64) + np.uint64(1 << 63)
+        band_id = np.tile(np.arange(4, dtype=np.int32), n)
+        band_hash = ((np.repeat(h, 4) >> (np.uint64(16) * band_id.astype(np.uint64)))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+        part = ((band_hash.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + band_id.astype(np.uint64)) % np.uint64(64)).astype(np.int32)
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            id_col: pa.array(np.repeat(batch[id_col].to_numpy(zero_copy_only=False), 4)),
+            "simhash": pa.array(np.repeat(batch["simhash"].to_numpy(), 4)),
+            "part": pa.array(part),
+        })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group[id_col].to_pylist(), group["simhash"].to_pylist()))[:200]
-        a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0]); b.append(rows[j][0]); d.append(ham)
-        return pa.table({"id_a": pa.array(a, type=pa.int64()),
-                         "id_b": pa.array(b, type=pa.int64()),
-                         "hamming": pa.array(d, type=pa.int64())})
+    def bucket_pairs_partition(part_t: pa.Table) -> pa.Table:
+        # vectorized run detection over all buckets of one partition; exact
+        # hamming verification only inside >=2-member runs (rare)
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        if part_t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(part_t, sort_keys=[
+            ("band_id", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")])
+        t = part_t.take(order)
+        bid = t["band_id"].to_numpy()
+        bh = t["band_hash"].to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sim = t["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+        new_run = np.concatenate([[True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(ids))
+        a_out, b_out, d_out = [], [], []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            e = min(e, s + 200)
+            run_ids, run_sim = ids[s:e], sim[s:e]
+            iu, ju = np.triu_indices(run_ids.size, k=1)
+            x = run_sim[iu] ^ run_sim[ju]
+            ham = np.zeros(x.size, dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = (ham <= max_hamming) & (run_ids[iu] != run_ids[ju])
+            a_out.append(run_ids[iu][keep])
+            b_out.append(run_ids[ju][keep])
+            d_out.append(ham[keep])
+        if not a_out:
+            return empty
+        return pa.table({"id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+                         "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+                         "hamming": pa.array(np.concatenate(d_out), type=pa.int64())})
 
     pairs = (
         hashed.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs_partition, batch_format="pyarrow")
         .to_pandas()
     )
     pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
