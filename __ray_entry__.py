@@ -341,6 +341,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_stats"] = token_stats_q
 
+    def token_counts_q(sf):
+        from rayfts.ops.textstats import count_tokens_batch
+
+        out = _docs_ds(sf).map_batches(count_tokens_batch, batch_format="pyarrow")
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"]).take_all(),
+                   key=lambda r: r["doc_id"])
+        )
+
+    q["token_counts"] = token_counts_q
+
     def quality_q(sf):
         from rayfts.ops.textstats import quality_stats_batch
 
@@ -458,6 +469,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["multimodal_decode"] = multimodal_q
 
+    def multimodal_chain_q(sf):
+        from rayfts.ops.multimodal import (ImageFeatures, ResizeImage,
+                                           decode_pipeline, synth_media_table)
+
+        ds = ray.data.from_arrow(synth_media_table(32))
+        resized = decode_pipeline(ds, ResizeImage, fake=True, target=32)
+        feats = decode_pipeline(resized, ImageFeatures, fake=True)
+        rows = sorted(feats.select_columns(["media_id", "width", "features"]).take_all(),
+                      key=lambda r: r["media_id"])
+        return pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], type=pa.int64()),
+            "width": pa.array([r["width"] for r in rows], type=pa.int32()),
+            "feat0": pa.array([round(float(r["features"][0]), 5) for r in rows],
+                              type=pa.float64()),
+        })
+
+    q["multimodal_resize_features"] = multimodal_chain_q
+
+    def video_frames_q(sf):
+        from rayfts.ops.multimodal import (VideoFrameSample, decode_pipeline,
+                                           synth_media_table)
+
+        ds = ray.data.from_arrow(synth_media_table(32, kind="video"))
+        out = decode_pipeline(ds, VideoFrameSample, fake=True, n_frames=3)
+        rows = sorted(out.select_columns(["media_id", "frame_digests"]).take_all(),
+                      key=lambda r: r["media_id"])
+        return pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], type=pa.int64()),
+            "frames": pa.array([",".join(r["frame_digests"]) for r in rows],
+                               type=pa.string()),
+        })
+
+    q["video_frame_sample"] = video_frames_q
+
     return q
 
 
@@ -539,6 +584,14 @@ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
        CAST(COALESCE(list_aggregate([length(x) for x in toks], 'max'), 0) AS BIGINT) AS max_token_len
 FROM t ORDER BY doc_id
+"""
+    from rayfts.ops.textstats import BPE_RE_SQL
+
+    sql["token_counts"] = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE_SQL}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
 """
     sql["quality_stats"] = rf"""
 WITH t AS (

@@ -131,6 +131,59 @@ class AudioFrameSample(_MediaStage):
         })
 
 
+class ResizeImage(_MediaStage):
+    """payload -> resized payload + new dims. FAKE path re-digests the
+    payload down to ``target*target*3`` deterministic bytes (the real path
+    would decode, resize with PIL, re-encode). Emits the payload because
+    resize is a payload TRANSFORM — callers chain ``drop_payload`` stages
+    after it; batch sizing stays small for the wide rows."""
+
+    lib_name = "PIL"
+
+    def __init__(self, target: int = 64, **kw):
+        kw.setdefault("drop_payload", False)
+        super().__init__(**kw)
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        need = self.target * self.target * 3
+        for payload in batch["payload"].to_pylist():
+            seed = hashlib.sha256(payload or b"").digest()
+            reps = -(-need // len(seed))
+            out.append((seed * reps)[:need])
+        batch = batch.drop_columns(["payload"])
+        return self._finish(batch, {
+            "payload": pa.array(out, type=pa.binary()),
+            "width": pa.array([self.target] * batch.num_rows, type=pa.int32()),
+            "height": pa.array([self.target] * batch.num_rows, type=pa.int32()),
+        })
+
+
+class VideoFrameSample(_MediaStage):
+    """payload -> n uniformly-spaced frame digests (stand-ins for decoded
+    key frames). FAKE path digests payload windows deterministically."""
+
+    lib_name = "av"
+
+    def __init__(self, n_frames: int = 4, **kw):
+        super().__init__(**kw)
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = []
+        for payload in batch["payload"].to_pylist():
+            p = payload or b"\x00"
+            step = max(1, len(p) // self.n_frames)
+            frames.append([
+                hashlib.sha256(p[i * step:(i + 1) * step]).hexdigest()[:16]
+                for i in range(self.n_frames)
+            ])
+        return self._finish(batch, {
+            "frame_digests": pa.array(frames, type=pa.list_(pa.string())),
+        })
+
+
 def decode_pipeline(ds, stage_cls=DecodeImage, fake: bool = True,
                     concurrency: int = 2, batch_size: int = 64, **stage_kw):
     """Canonical wiring: actor pool, small batches for wide binary rows."""

@@ -29,6 +29,27 @@ def _tokens(text: str) -> list[str]:
     return [t.lower() for t in _TOKEN_RE.findall(text or "")]
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-compatible constructs (no
+# lookahead) so the DuckDB oracle can run the IDENTICAL pattern; counts
+# approximate BPE token counts for budget/packing decisions.
+_BPE_RE = re.compile(r" ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+", re.UNICODE)
+BPE_RE_SQL = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}_]+|\s+"
+
+
+def count_tokens_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Token-count columns for budget estimation: ``n_ws_tokens``
+    (whitespace split) and ``n_bpe_tokens`` (BPE-ish pre-tokenizer)."""
+    texts = batch[col].to_pylist()
+    ws = np.empty(len(texts), dtype=np.int64)
+    bpe = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        ws[i] = len(t.split())
+        bpe[i] = len(_BPE_RE.findall(t))
+    return (batch.append_column("n_ws_tokens", pa.array(ws))
+            .append_column("n_bpe_tokens", pa.array(bpe)))
+
+
 def token_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Adds n_tokens, n_types (unique), max_token_len (chars)."""
     texts = batch[col].to_pylist()
