@@ -145,3 +145,79 @@ def test_parse_errors(idx):
 
 def test_separator_only_query_matches_nothing(idx):
     assert idx.searcher().count("!!! ...") == 0
+
+
+def test_query_multi_per_index_results(idx, tmp_path_factory):
+    """#14 query_multi: same string against N named indexes; results are
+    per-index lists keyed by name, NOT globally merged (handles.rs:157-176)."""
+    cat = idx.catalog
+    schema = idx.manifest.schema
+    other = cat.create_index("q2", schema)
+    other.add_documents([
+        {"id": "x", "body": "beta only here", "lang": "en", "size": 1, "facet": "/top/en"},
+    ])
+    res = cat.query_multi(["q", "q2"], "beta")
+    assert [name for name, _ in res] == ["q", "q2"]
+    by_name = dict(res)
+    assert {h["doc"]["id"][0] for h in by_name["q"]} == {"a", "b", "d", "e"}
+    assert {h["doc"]["id"][0] for h in by_name["q2"]} == {"x"}
+
+
+def test_phrase_three_terms(idx):
+    r = idx.query_json({"query": {"phrase": {"body": {"terms": ["beta", "gamma", "delta"]}}}})
+    assert ids(r) == ["b"]
+
+
+def test_removed_long_token_keeps_position_gap(tmp_path_factory):
+    """RemoveLong drops the token but PRESERVES ordinals (tantivy filter
+    semantics, SURVEY §8.1): 'alpha <45-byte-token> beta' must NOT match
+    the phrase "alpha beta" because their positions are 0 and 2."""
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("gap")))
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("id", "text", indexed=False),
+    ])
+    h = cat.create_index("g", schema)
+    h.add_documents([
+        {"id": "gap", "body": "alpha " + "x" * 45 + " beta"},
+        {"id": "adj", "body": "alpha beta"},
+    ])
+    r = h.query_json({"query": {"phrase": {"body": {"terms": ["alpha", "beta"]}}}})
+    assert ids(r) == ["adj"]
+    # both docs still match the bare AND
+    r2 = h.query_json({"query": {"bool": {"must": [
+        {"term": {"body": "alpha"}}, {"term": {"body": "beta"}}]}}})
+    assert ids(r2) == ["adj", "gap"]
+
+
+def test_wand_pruned_union_matches_naive(ray_session, tmp_path_factory):
+    """Block-max pruned top-k (#24 + north star WAND) returns exactly the
+    same ranked (score, doc) list as the unpruned union on a corpus large
+    enough that pruning actually triggers."""
+    import glob
+
+    from rayfts.index.build import build_index
+    from rayfts.index.schema import FieldDef as F, IndexSchema as S
+    from rayfts.query.ast import Bool, Term
+    from rayfts.query.searcher import Searcher
+
+    from rayfts.corpus import generate_corpus
+
+    corpus = generate_corpus("/tmp/rayfts_test/corpus-wand", 4000, seed=7, use_ray=False)
+    files = sorted(glob.glob(corpus + "/part-*.parquet"))
+    schema = S([
+        F("content", "text", tokenizer="en_stem", record="position"),
+        F("path", "text", indexed=False),
+    ])
+    path = str(tmp_path_factory.mktemp("wand") / "idx")
+    build_index(files, path, schema, content_col="content", key_cols=["path"])
+    s = Searcher(path)
+    q = Bool(should=[Term("content", t) for t in ["the", "if", "match", "ident42"]])
+    pruned = s.top_k(q, 10)
+    gids, scores = s.matches(q)  # exhaustive scoring
+    import numpy as np
+
+    order = np.lexsort((gids, -scores))[:10]
+    naive = [(round(float(scores[i]), 6), int(gids[i])) for i in order]
+    got = [(round(h.score, 6), int(h.doc_id)) for h in pruned]
+    assert got == naive
