@@ -116,9 +116,18 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
         self._cluster_vecs: dict[int, np.ndarray] = {}
         self._cluster_ids: dict[int, np.ndarray] = {}
+        self._col = "embedding"
+        self._id_col = "vec_id"
+        self.spill_dir: str | None = None
 
     def build(self, ds, col: str = "embedding", id_col: str = "vec_id",
-              sample_rows: int = 2048):
+              sample_rows: int = 2048, spill_dir: str | None = None):
+        """``spill_dir=None`` keeps cluster posting tables in driver memory
+        (small corpora); with a path, vectors are written as
+        cluster-partitioned Parquet (``spill_dir/cluster=N/``) and search
+        reads ONLY the probed clusters — the 100 TB layout, where driver
+        memory never holds the corpus."""
+        self._col, self._id_col = col, id_col
         sample = ds.limit(sample_rows).to_pandas()
         mat = np.stack(sample[col].to_numpy())
         self.centroids = kmeans_fit(mat, self.n_clusters, seed=self.seed)
@@ -134,22 +143,47 @@ class IVFIndex:
                 col: batch[col],
             })
 
-        assigned = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
-        for cl, grp in assigned.groupby("cluster"):
+        assigned = ds.map_batches(assign, batch_format="pyarrow")
+        if spill_dir is not None:
+            self.spill_dir = spill_dir
+            assigned.write_parquet(spill_dir, partition_cols=["cluster"])
+            return self
+        df = assigned.to_pandas()
+        for cl, grp in df.groupby("cluster"):
             self._cluster_vecs[int(cl)] = _normalize(np.stack(grp[col].to_numpy()).astype(np.float64))
             self._cluster_ids[int(cl)] = grp[id_col].to_numpy()
         return self
+
+    def _load_cluster(self, cl: int) -> tuple[np.ndarray, np.ndarray] | None:
+        if cl in self._cluster_vecs:
+            return self._cluster_vecs[cl], self._cluster_ids[cl]
+        if self.spill_dir is None:
+            return None
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(f"{self.spill_dir}/cluster={cl}/*.parquet"))
+        if not files:
+            return None
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        vecs = _normalize(_batch_matrix(t, self._col))
+        ids = t[self._id_col].to_numpy(zero_copy_only=False)
+        self._cluster_vecs[cl] = vecs  # probe cache
+        self._cluster_ids[cl] = ids
+        return vecs, ids
 
     def search(self, query_vec: np.ndarray, k: int = 10) -> list[tuple[int, float]]:
         q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
         order = np.argsort(-(self.centroids @ q))[: self.nprobe]
         cands: list[tuple[float, int]] = []
         for cl in order:
-            cl = int(cl)
-            if cl not in self._cluster_vecs:
+            loaded = self._load_cluster(int(cl))
+            if loaded is None:
                 continue
-            sims = self._cluster_vecs[cl] @ q
-            for i, s in zip(self._cluster_ids[cl], sims):
+            vecs, ids = loaded
+            sims = vecs @ q
+            for i, s in zip(ids, sims):
                 cands.append((float(s), int(i)))
         cands.sort(key=lambda t: (-t[0], t[1]))
         return [(i, s) for s, i in cands[:k]]

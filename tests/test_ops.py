@@ -169,3 +169,20 @@ def test_fingerprints_shift_invariant():
     f2 = rolling_fingerprints(["pre"] + toks, k=5)
     # shared windows hash identically regardless of position
     assert set(f1).issubset(set(f2) | set(f1[:1])) or np.intersect1d(f1, f2).size >= 14
+
+
+def test_ivf_spill_dir_matches_in_memory(ray_session, tmp_path):
+    from rayfts.ops.ann import IVFIndex
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(emb["embedding"][11].as_py())
+    mem = IVFIndex(n_clusters=8, nprobe=3).build(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"))
+    spill = IVFIndex(n_clusters=8, nprobe=3).build(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+        spill_dir=str(tmp_path / "ivf"))
+    assert mem.search(q, k=10) == spill.search(q, k=10)
+    import glob
+    assert glob.glob(str(tmp_path / "ivf" / "cluster=*"))  # partitioned layout
