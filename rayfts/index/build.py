@@ -392,6 +392,10 @@ def build_index(
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
         logger.info("resume: skipping %d committed segments", len(done))
 
+    # sort-shuffle output block count == input block count, which throttles
+    # map_groups parallelism when the input has few files; split up front
+    # so up to num_segments group-builds run concurrently
+    ds = ds.repartition(num_segments)
     infos_ds = ds.groupby(SEG_COL).map_groups(
         make_group_builder(
             index_dir, schema.to_json(), fieldnorm_codec, num_segments, _fail_segments
