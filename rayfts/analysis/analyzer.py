@@ -9,10 +9,12 @@ Chains (tantivy-0.18 semantics, SURVEY.md §8.1):
 - ``en_stem``:  ``default`` + Snowball English (Porter2) stemming.
 
 SimpleTokenizer: a token is a maximal run of Unicode-alphanumeric
-characters (Rust ``char::is_alphanumeric`` = categories L* + Nd/Nl/No);
-Python's ``[^\\W_]`` with re.UNICODE matches the same set. Positions are
-token ordinals; filters preserve ordinals. RemoveLong drops tokens whose
-UTF-8 byte length is >= 40 (strict ``len < 40`` keeps).
+characters (Rust ``char::is_alphanumeric`` = categories L* + Nd/Nl/No),
+classified by Arrow's RE2/utf8proc tables on BOTH the row path and the
+whole-column path so index-time and query-time analysis agree exactly
+(see ``_raw_tokens`` / ``_lower_tokens``). Positions are token ordinals;
+filters preserve ordinals. RemoveLong drops tokens whose UTF-8 byte
+length is >= 40 (strict ``len < 40`` keeps).
 
 The same chain runs at query time (so ``'mundo'`` matches the stemmed
 index of "Ola mundo!" — ``/root/reference/test/basic.js:38-41``).
@@ -28,8 +30,42 @@ from rayfts.analysis import porter2
 _TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 _REMOVE_LONG_BYTES = 40
 
-# DuckDB/RE2 equivalent of _TOKEN_RE for oracle SQL generation.
+# DuckDB/RE2 equivalent of the tokenizer for oracle SQL generation.
 TOKEN_RE_SQL = r"[\p{L}\p{N}]+"
+_SPLIT_PATTERN = r"[^\p{L}\p{N}]+"
+
+
+def _lower_tokens(toks: list[str]) -> list[str]:
+    """Lowercase with the SAME tables as the column path: ASCII via
+    str.lower (identical), anything else via Arrow utf8_lower — Python's
+    str.lower disagrees with utf8proc on e.g. 'İ' (adds a combining dot)
+    and Greek final sigma, which would break index<->query matching."""
+    if all(t.isascii() for t in toks):
+        return [t.lower() for t in toks]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.utf8_lower(pa.array(toks, type=pa.string())).to_pylist()
+
+
+def _raw_tokens(text: str) -> list[str]:
+    """Canonical tokenization: maximal runs of letters/digits, classified
+    by Arrow's RE2/utf8proc tables. The SAME kernel drives the whole-column
+    index path (:meth:`Analyzer.analyze_text_column`) and the DuckDB
+    oracles, so index-time, query-time and oracle tokenization can never
+    diverge on Unicode-version edge cases (Python's ``re`` tables lag a
+    version behind and disagree on recently-added codepoints)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not text:
+        return []
+    if text.isascii():  # fast path: tables agree on ASCII
+        return _TOKEN_RE.findall(text)
+    out = pc.split_pattern_regex(
+        pa.array([text], type=pa.string()), pattern=_SPLIT_PATTERN
+    )[0].as_py()
+    return [t for t in out if t]
 
 
 @dataclass(frozen=True)
@@ -124,13 +160,13 @@ class Analyzer:
         if spec.name == "whitespace":
             raw = text.split()
         else:
-            raw = _TOKEN_RE.findall(text)
+            raw = _raw_tokens(text)
         out_toks: list[str] = []
         out_pos: list[int] = []
         cache = self._stem_cache
         stemming = spec.stemmer is not None
         limit = spec.remove_long
-        lower = spec.lowercase
+        lowered = _lower_tokens(raw) if spec.lowercase else raw
         for pos, tok in enumerate(raw):
             if limit is not None:
                 lc = len(tok)
@@ -138,8 +174,7 @@ class Analyzer:
                 # lengths need the actual utf-8 encode (hot-path shortcut)
                 if lc >= limit or (lc * 4 >= limit and len(tok.encode("utf-8")) >= limit):
                     continue
-            if lower:
-                tok = tok.lower()
+            tok = lowered[pos]
             if stemming:
                 st = cache.get(tok)
                 if st is None:
@@ -159,14 +194,14 @@ class Analyzer:
         spec = self.spec
         if not isinstance(text, str) or spec.raw or spec.name == "whitespace":
             return self.tokens_positions(text)
-        raw = _TOKEN_RE.findall(text)
+        raw = _raw_tokens(text)
         if not raw:
             return [], None
         limit = spec.remove_long
         if limit is not None:
             if not text.isascii() or max(map(len, raw)) >= limit:
                 return self.tokens_positions(text)
-        toks = [t.lower() for t in raw] if spec.lowercase else raw
+        toks = _lower_tokens(raw) if spec.lowercase else raw
         if spec.stemmer is not None:
             cache = self._stem_cache
             try:
@@ -276,4 +311,4 @@ class Analyzer:
             return 1 if text else 0
         if self.spec.name == "whitespace":
             return len(text.split())
-        return len(_TOKEN_RE.findall(text))
+        return len(_raw_tokens(text))

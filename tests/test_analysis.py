@@ -104,6 +104,8 @@ def test_arrow_column_path_matches_row_path():
         "日本語 テスト 123", "  leading and trailing  ",
         "Running RUNS runner", "x" * 39 + " " + "y" * 40,
         "the the the ident42_c7",
+        "\u0130stanbul \u03a3\u0399\u0393\u039c\u0391\u03a3",  # utf8proc-vs-python lower() traps
+        "\U00031350 new-unicode codepoint",  # added after Python 3.11's tables
     ]
     for name in ["default", "en_stem"]:
         a = Analyzer(name)
@@ -118,3 +120,28 @@ def test_arrow_column_path_matches_row_path():
             assert got == list(zip(toks, poss)), (name, d, text)
             assert counts[d] == len(toks)
         assert list(uniques) == sorted(set(uniques))
+
+
+def test_arrow_column_path_property_random_unicode():
+    """Property: Arrow whole-column analysis == row-at-a-time chain on
+    arbitrary unicode (hypothesis)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=60)), max_size=12))
+    def check(docs):
+        for name in ["default", "en_stem"]:
+            a = Analyzer(name)
+            codes, doc_idx, positions, uniques, counts = a.analyze_text_column(
+                pa.array(docs, type=pa.string())
+            )
+            b = Analyzer(name)
+            for d, text in enumerate(docs):
+                toks, poss = b.tokens_positions(text)
+                m = doc_idx == d
+                got = [(uniques[c], int(p)) for c, p in zip(codes[m], positions[m])]
+                assert got == list(zip(toks, poss))
+                assert counts[d] == len(toks)
+
+    check()
