@@ -186,6 +186,9 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     build_s, ndocs, idx = bench_code_build(CODE_CORPUS_DOCS)
     queries["code_index_build"] = round(build_s, 3)
     docs_per_sec = ndocs / build_s
+    from rayfts.index.manifest import build_metrics_summary, read_manifest
+
+    stage_metrics = build_metrics_summary(read_manifest(idx))
 
     qtimes = bench_query_set(idx)
     queries["query_set_total"] = round(sum(qtimes.values()), 4)
@@ -216,6 +219,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "build_docs_per_sec": round(docs_per_sec, 1),
         "build_num_docs": ndocs,
+        "build_stage_metrics": stage_metrics,
     }
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(docs_idx, ignore_errors=True)

@@ -120,12 +120,13 @@ def cmd_merge(args) -> int:
 
 
 def cmd_info(args) -> int:
-    from rayfts.index.manifest import read_manifest
+    from rayfts.index.manifest import build_metrics_summary, read_manifest
 
     m = read_manifest(args.index)
     print(json.dumps({
         "name": m.name, "version": m.version, "opstamp": m.opstamp,
-        "docs": m.num_docs, "segments": [
+        "docs": m.num_docs, "build_metrics": build_metrics_summary(m),
+        "segments": [
             {"id": s.segment_id, "docs": s.num_docs,
              "lineage": s.lineage, "metrics": s.metrics}
             for s in m.ordered_segments()

@@ -86,6 +86,28 @@ class Manifest:
         )
 
 
+def build_metrics_summary(manifest: Manifest) -> dict:
+    """Aggregate the per-segment build metrics recorded on each
+    SegmentInfo into index-level numbers (docs, tokens, bytes, per-unit
+    build seconds, tokens/sec of pure inversion compute)."""
+    secs = [s.metrics.get("build_secs", 0.0) for s in manifest.segments]
+    tokens = sum(s.metrics.get("tokens", 0) for s in manifest.segments)
+    post = sum(s.metrics.get("postings_bytes", 0) for s in manifest.segments)
+    pos = sum(s.metrics.get("positions_bytes", 0) for s in manifest.segments)
+    total_secs = sum(secs)
+    return {
+        "segments": len(manifest.segments),
+        "docs": manifest.num_docs,
+        "tokens": tokens,
+        "postings_bytes": post,
+        "positions_bytes": pos,
+        "build_secs_sum": round(total_secs, 3),
+        "build_secs_max": round(max(secs), 3) if secs else 0.0,
+        "tokens_per_cpu_sec": round(tokens / total_secs, 1) if total_secs else None,
+        "docs_per_cpu_sec": round(manifest.num_docs / total_secs, 1) if total_secs else None,
+    }
+
+
 def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST_FILE)
 

@@ -133,3 +133,61 @@ class SearchService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class BatchSearchStage:
+    """Ray-Data-native BULK query evaluation: a callable class for
+    ``queries_ds.map_batches(BatchSearchStage, fn_constructor_kwargs=
+    {"index_dir": ...}, concurrency=N)`` — the whole Searcher (manifest,
+    mmapped segments, cached term dicts, parser) is built ONCE per actor
+    in ``__init__``; each batch of query strings returns top-k rows
+    ``(query, rank, global docid, score)``.
+
+    This is the shape for evaluating millions of queries against a built
+    index (relevance sweeps, query-log replay): queries stream as a
+    Dataset, the index is per-actor state, results are a Dataset again.
+    """
+
+    def __init__(self, index_dir: str, limit: int = 10, query_col: str = "query"):
+        self.searcher = Searcher(index_dir)
+        self.limit = limit
+        self.query_col = query_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        q_out, r_out, d_out, s_out = [], [], [], []
+        for q in batch[self.query_col].to_pylist():
+            try:
+                hits = self.searcher.top_k(q, self.limit)
+            except Exception:
+                hits = []
+            for rank, h in enumerate(hits, 1):
+                q_out.append(q)
+                r_out.append(rank)
+                d_out.append(h.doc_id)
+                s_out.append(h.score)
+        return pa.table({
+            "query": pa.array(q_out, type=pa.string()),
+            "rank": pa.array(r_out, type=pa.int64()),
+            "doc_id": pa.array(d_out, type=pa.int64()),
+            "score": pa.array(s_out, type=pa.float64()),
+        })
+
+
+def batch_search(ds, index_dir: str, limit: int = 10, query_col: str = "query",
+                 concurrency=None):
+    """Wire a query Dataset through a BatchSearchStage actor pool."""
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = (1, max(2, cpus // 2))
+    return ds.map_batches(
+        BatchSearchStage,
+        fn_constructor_kwargs={"index_dir": index_dir, "limit": limit,
+                               "query_col": query_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -101,3 +101,25 @@ def test_service_refresh_on_commit(built, ray_session, tmp_path):
         assert svc.count("the") == before
     finally:
         svc.shutdown()
+
+
+def test_batch_search_dataset(built, ray_session):
+    """Bulk query evaluation: Dataset of query strings -> actor-pool
+    map_batches -> Dataset of (query, rank, doc_id, score); results match
+    the local Searcher exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayfts.query.serve import batch_search
+
+    path = built
+    queries = ["merge", "the", "filter batch", "query AND batch"]
+    qds = ray.data.from_arrow(pa.table({"query": pa.array(queries)}))
+    out = batch_search(qds, path, limit=5).take_all()
+    s = Searcher(path)
+    for q in queries:
+        mine = [(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in out if r["query"] == q]
+        want = [(i + 1, h.doc_id, round(h.score, 9))
+                for i, h in enumerate(s.top_k(q, 5))]
+        assert mine == want, q
