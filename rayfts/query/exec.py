@@ -291,6 +291,58 @@ def _decode_blocks(seg: SegmentReader, field: str, ordinal: int, block_idx: np.n
     return decode_blocks(seg._postings_buf()[off : off + ln], block_idx)
 
 
+def top_k_single_term(
+    seg: SegmentReader, stats: GlobalStats, field: str, term: str, k: int
+) -> Matches:
+    """Block-max early termination for ONE term: per-block score bounds
+    from the skip table (max tf, min fieldnorm), blocks visited in
+    descending bound order, stop as soon as the next bound cannot beat the
+    current k-th best score. Exact top-k candidates with exact scores;
+    long stop-word lists typically decode only a fraction of their blocks.
+    """
+    o = seg.term_ordinal(field, term)
+    if o is None:
+        return _EMPTY
+    e = seg.term_dict(field)
+    off, ln = int(e["post_off"][o]), int(e["post_len"][o])
+    raw = seg._postings_buf()[off : off + ln]
+    n, skips = decode_skips(raw)
+    term_idf = stats.idf(field, term)
+    avgdl = stats.avgdl[field]
+    if skips.size <= 4:  # short list: decode everything
+        pl = seg.postings_by_ordinal(field, o)
+        dls = _decoded_dls(seg, field)[pl.docids]
+        return pl.docids, bm25.score(pl.tfs, dls, avgdl, term_idf)
+
+    min_dls = seg.codec.decode(skips["min_norm"]).astype(np.float64)
+    max_tfs = skips["max_tf"].astype(np.float64)
+    w = max_tfs / (max_tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * min_dls / avgdl))
+    bounds = term_idf * (bm25.K1 + 1.0) * w
+    order = np.argsort(-bounds)
+    dls_all = _decoded_dls(seg, field)
+
+    acc_docs = np.empty(0, dtype=np.uint32)
+    acc_scores = np.empty(0, dtype=np.float64)
+    threshold = -np.inf
+    CHUNK = 8
+    for i in range(0, order.size, CHUNK):
+        blocks = order[i : i + CHUNK]
+        # strict <: an equal-bound block can still hold an equal-score doc
+        # whose smaller docid wins the (score desc, docid asc) tie-break
+        if acc_scores.size >= k and float(bounds[blocks[0]]) < threshold:
+            break
+        docs, tfs = _decode_blocks(seg, field, o, np.sort(blocks))
+        scores = bm25.score(tfs, dls_all[docs], avgdl, term_idf)
+        acc_docs = np.concatenate([acc_docs, docs])
+        acc_scores = np.concatenate([acc_scores, scores])
+        if acc_scores.size > k:
+            keep = np.lexsort((acc_docs, -acc_scores))[:k]  # tie-safe trim
+            acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        if acc_scores.size >= k:
+            threshold = float(acc_scores.min())
+    return acc_docs, acc_scores
+
+
 def top_k_term_union(
     seg: SegmentReader,
     stats: GlobalStats,
@@ -307,6 +359,8 @@ def top_k_term_union(
     Returns exact top-k-correct (docids, scores) for all candidate docs
     touched (a superset of the true top-k, each with its exact score).
     """
+    if len(pairs) == 1:
+        return top_k_single_term(seg, stats, pairs[0][0], pairs[0][1], k)
     entries = []
     for field, term in pairs:
         o = seg.term_ordinal(field, term)
