@@ -330,6 +330,12 @@ def build_index(
     if partition_mode == "input":
         import pyarrow.parquet as pq
 
+        # resume must re-plan the IDENTICAL unit list even on a different
+        # cluster size: the original target is pinned in the manifest
+        if target_docs_per_segment is None and mf.manifest_exists(index_dir):
+            target_docs_per_segment = mf.read_manifest(index_dir).build_params.get(
+                "target_docs_per_segment"
+            )
         total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
         if target_docs_per_segment is None:
             if num_segments:
@@ -346,6 +352,10 @@ def build_index(
             fieldnorm_codec=fieldnorm_codec, resume=resume,
             read_columns=columns, t0=t0,
             fail_ordinals=_fail_segments,
+            build_params={
+                "partition_mode": "input",
+                "target_docs_per_segment": int(target_docs_per_segment),
+            },
         )
 
     if is_paths:
@@ -446,6 +456,7 @@ def _build_from_units(
     read_columns: list[str] | None,
     t0: float,
     fail_ordinals: frozenset[int] = frozenset(),
+    build_params: dict | None = None,
 ) -> mf.Manifest:
     """Zero-shuffle build: one planned unit -> one segment -> one task."""
     if mf.manifest_exists(index_dir):
@@ -455,9 +466,13 @@ def _build_from_units(
             logger.info("recovered %d orphan segment checkpoints", len(adopted))
         if manifest.segments and not resume:
             raise ValueError(f"index at {index_dir} already has segments and resume=False")
+        if build_params and not manifest.build_params:
+            manifest.build_params = build_params
+            mf.write_manifest(index_dir, manifest)
         done = manifest.segment_ids()
     else:
-        manifest = mf.Manifest(name=index_name, schema=schema)
+        manifest = mf.Manifest(name=index_name, schema=schema,
+                               build_params=build_params or {})
         mf.write_manifest(index_dir, manifest)
         done = set()
 

@@ -36,6 +36,11 @@ class Manifest:
     segments: list[SegmentInfo] = dc_field(default_factory=list)
     opstamp: int = 0
     version: int = 0
+    # build-plan parameters pinned at index creation (partition mode,
+    # target unit size) so a RESUMED build re-plans the IDENTICAL unit
+    # list regardless of the resuming cluster's size — unit ids must match
+    # for the committed-set diff to skip finished work
+    build_params: dict = dc_field(default_factory=dict)
 
     def segment_ids(self) -> set[str]:
         return {s.segment_id for s in self.segments}
@@ -73,6 +78,7 @@ class Manifest:
             "segments": [s.to_json() for s in self.segments],
             "opstamp": self.opstamp,
             "version": self.version,
+            "build_params": self.build_params,
         }
 
     @staticmethod
@@ -83,6 +89,7 @@ class Manifest:
             segments=[SegmentInfo.from_json(s) for s in d["segments"]],
             opstamp=d.get("opstamp", 0),
             version=d.get("version", 0),
+            build_params=d.get("build_params", {}),
         )
 
 

@@ -184,3 +184,30 @@ def test_input_mode_resume_and_parity(ray_session, tmp_path):
         assert [s for _, s in h1] == [s for _, s in h2], q
         boundary = h1[-1][1] if h1 else None
         assert {d for d, s in h1 if s != boundary} == {d for d, s in h2 if s != boundary}, q
+
+
+def test_input_mode_resume_reuses_pinned_plan(ray_session, tmp_path):
+    """A resumed build on a DIFFERENT cluster size must re-plan the same
+    unit list: the original target_docs_per_segment is pinned in the
+    manifest, so unit/segment ids line up and committed work is skipped."""
+    path = str(tmp_path / "pinned")
+    with pytest.raises(Exception):
+        build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                    content_col="text", key_cols=["doc_id"], num_segments=10,
+                    partition_mode="input", _fail_segments=frozenset({2}))
+    m1 = mf.read_manifest(path)
+    assert m1.build_params["target_docs_per_segment"] == 50
+    done_dirs = sorted(
+        d for d in glob.glob(os.path.join(path, "segments", "seg-*"))
+        if not d.endswith(".tmp")
+    )
+    assert done_dirs  # completed units checkpointed on disk
+    mtimes = {d: os.path.getmtime(os.path.join(d, "postings.bin")) for d in done_dirs}
+    # resume with NO sizing hints at all: pinned plan must be reused
+    m2 = build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                     content_col="text", key_cols=["doc_id"],
+                     partition_mode="input")
+    assert m2.num_docs == 500
+    assert len(m2.segments) == 10
+    for d in done_dirs:  # not rebuilt under the reused plan
+        assert os.path.getmtime(os.path.join(d, "postings.bin")) == mtimes[d]
