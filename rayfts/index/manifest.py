@@ -98,7 +98,11 @@ def build_metrics_summary(manifest: Manifest) -> dict:
     SegmentInfo into index-level numbers (docs, tokens, bytes, per-unit
     build seconds, tokens/sec of pure inversion compute)."""
     secs = [s.metrics.get("build_secs", 0.0) for s in manifest.segments]
-    tokens = sum(s.metrics.get("tokens", 0) for s in manifest.segments)
+    tokens = sum(
+        s.metrics.get("tokens")
+        or sum(fs.get("total_tokens", 0) for fs in s.field_stats.values())
+        for s in manifest.segments
+    )
     post = sum(s.metrics.get("postings_bytes", 0) for s in manifest.segments)
     pos = sum(s.metrics.get("positions_bytes", 0) for s in manifest.segments)
     total_secs = sum(secs)
