@@ -227,9 +227,11 @@ PHRASE = ("batch", "batch")
 
 
 def entry() -> Any:
-    """Flagship: build the en_stem index over sf0.001 documents (Ray Data
-    pipeline with checkpointed segments) and run the reference query set;
-    returns the concatenated top-k tables."""
+    """Flagship: build the en_stem index over sf0.001 documents (zero-
+    shuffle Ray Data pipeline with checkpointed segments), run the
+    reference query set through the local searcher, and run one query
+    through the distributed actor-pool SearchService (the serving
+    architecture) — returns the concatenated top-k tables."""
     sf = "/root/testdata/sf0.001"
     s = _docs_index(sf, "fts")
     out = []
@@ -242,6 +244,21 @@ def entry() -> Any:
                 "doc_id": int(h["doc"]["doc_id"][0]),
                 "score": round(float(h["score"]), 6),
             })
+    # serving path: actor pool over the same index, results must agree
+    from rayfts.query.serve import SearchService
+
+    svc = SearchService(s.index_dir, num_actors=2)
+    try:
+        for rank, (score, _gid, doc) in enumerate(
+            svc.search(T_MID, limit=10, fetch=True), 1
+        ):
+            out.append({
+                "query": f"service:{T_MID}", "rank": rank,
+                "doc_id": int(doc["doc_id"][0]),
+                "score": round(float(score), 6),
+            })
+    finally:
+        svc.shutdown()
     return pa.Table.from_pylist(out) if out else pa.table({"query": pa.array([], pa.string())})
 
 
