@@ -337,6 +337,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_stats_top50"] = top_terms_q
 
+    def term_postings_q(sf):
+        """North-star term shuffle: export global posting lists, then read
+        back the probed terms' (docid, tf) pairs."""
+        import tempfile
+
+        from rayfts.ops.postings_export import build_term_postings, read_posting
+
+        out = tempfile.mkdtemp(prefix="rayfts-postings-", dir="/tmp")
+        build_term_postings(_docs_ds(sf), out, col="text",
+                            analyzer="default", num_buckets=8)
+        rows = []
+        for term in [T_MID, T_HOT, T_B]:
+            docids, tfs = read_posting(out, term)
+            for d, t in zip(docids.tolist(), tfs.tolist()):
+                rows.append({"term": term, "doc_id": d, "tf": t})
+        return pa.Table.from_pylist(rows)
+
+    q["term_postings"] = term_postings_q
+
     def exact_dedup_q(sf):
         from rayfts.ops.dedup import exact_dedup_ids
 
@@ -588,6 +607,12 @@ SELECT DISTINCT doc_id FROM bi WHERE term = '{PHRASE[0]}' AND nxt = '{PHRASE[1]}
         f"WITH {_TOKS_CTE} "
         f"SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf "
         f"FROM toks GROUP BY term ORDER BY cf DESC, term LIMIT 50"
+    )
+    sql["term_postings"] = (
+        f"WITH {_TOKS_CTE} "
+        f"SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks "
+        f"WHERE term IN ('{T_MID}', '{T_HOT}', '{T_B}') "
+        f"GROUP BY term, doc_id ORDER BY term, doc_id"
     )
     sql["exact_dedup_kept"] = (
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"

@@ -186,3 +186,30 @@ def test_ivf_spill_dir_matches_in_memory(ray_session, tmp_path):
     assert mem.search(q, k=10) == spill.search(q, k=10)
     import glob
     assert glob.glob(str(tmp_path / "ivf" / "cluster=*"))  # partitioned layout
+
+
+def test_term_postings_export_matches_duckdb(ray_session, tmp_path):
+    """North-star 'groupby-term shuffle into sorted posting lists': the
+    exported global posting list of each probed term equals DuckDB's
+    per-term sorted docid/tf lists."""
+    import duckdb
+
+    from rayfts.ops.postings_export import build_term_postings, read_posting
+
+    out = str(tmp_path / "postings")
+    summary = build_term_postings(_docs(SF01), out, col="text",
+                                  analyzer="default", num_buckets=8)
+    assert summary.num_rows >= 1
+    for term in ["the", "merge", "sort", "data"]:
+        docids, tfs = read_posting(out, term)
+        exp = duckdb.sql(rf"""
+            WITH toks AS (
+              SELECT doc_id, unnest([lower(x) for x in
+                regexp_extract_all(text, '[\p{{L}}\p{{N}}]+') if strlen(x) < 40]) AS term
+              FROM read_parquet('{SF01}/documents.parquet')
+            )
+            SELECT doc_id, count(*) FROM toks WHERE term = '{term}'
+            GROUP BY doc_id ORDER BY doc_id
+        """).fetchall()
+        assert docids.tolist() == [r[0] for r in exp], term
+        assert tfs.tolist() == [r[1] for r in exp], term
