@@ -434,6 +434,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bm25_stemmed_topk"] = stemmed_topk
 
+    def batch_search_q(sf):
+        """Bulk query evaluation: Dataset of query strings through the
+        stateful BatchSearchStage actor pool."""
+        from rayfts.query.serve import batch_search
+
+        s = _docs_index(sf, "fts")
+        qds = ray.data.from_arrow(pa.table({
+            "query": pa.array([T_MID, T_HOT, f"{T_MID} {T_B}"])
+        }))
+        rows = sorted(
+            batch_search(qds, s.index_dir, limit=5).take_all(),
+            key=lambda r: (r["query"], r["rank"]),
+        )
+        return pa.table({
+            "query": pa.array([r["query"] for r in rows], type=pa.string()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "doc_id_internal": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "score": pa.array([round(r["score"], 6) for r in rows], type=pa.float64()),
+        })
+
+    q["batch_search"] = batch_search_q
+
     def snippets_q(sf):
         s = _docs_index(sf, "fts")
         hits = s.query_string(T_MID, limit=5, snippet_field="text")
