@@ -55,10 +55,15 @@ def encode_varints(values: np.ndarray, lengths: np.ndarray | None = None) -> byt
 
 
 def decode_varints(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes back to uint64; vectorized."""
+    """Decode LEB128 bytes back to uint64; vectorized. Streams whose
+    values are all < 128 (the common docid-delta / tf case) decode with a
+    single widening cast."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if count is not None and count == b.size:
+        # every value is exactly one byte -> no continuation bits possible
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     # value i spans bytes (ends[i-1], ends[i]]
     ends = np.flatnonzero(is_last)

@@ -75,6 +75,15 @@ def merge_segment_group(
     norms_out: dict[str, np.ndarray] = {}
     field_stats: dict[str, dict] = {}
 
+    def _scatter_spans(dst_offs, src_starts, lens):
+        """take/put index pair for copying variable-length spans: returns
+        (dst_idx, src_idx) flat gather indices (vectorized, no loop)."""
+        total = int(lens.sum())
+        rel = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        return np.repeat(dst_offs, lens) + rel, np.repeat(src_starts, lens) + rel
+
     for fdef in schema.indexed_fields:
         dicts = [r.term_dict(fdef.name) for r in readers]
         norms_out[fdef.name] = np.concatenate([r.norms(fdef.name) for r in readers])
@@ -84,54 +93,76 @@ def merge_segment_group(
         ord_of = np.concatenate([np.arange(d["terms"].size) for d in dicts]) if all_terms.size else np.empty(0, np.int64)
         order = np.argsort(all_terms, kind="stable")
         s_terms, s_src, s_ord = all_terms[order], src_of[order], ord_of[order]
-
-        p_docs_parts, p_tfs_parts, p_norms_parts = [], [], []
-        t_sizes: list[int] = []
-        merged_terms: list[str] = []
-        merged_pos: list[tuple[int, int]] = []  # (pos_off, pos_len) accumulated
-
-        i = 0
-        nmerged = len(s_terms)
         codec = readers[0].codec
-        while i < nmerged:
-            j = i
-            term = s_terms[i]
-            size = 0
-            span_pos_len = 0
-            pos_parts = []
-            while j < nmerged and s_terms[j] == term:
-                src, o = int(s_src[j]), int(s_ord[j])
-                pl = readers[src].postings_by_ordinal(fdef.name, o)
-                p_docs_parts.append(pl.docids.astype(np.int64) + offsets[src])
-                p_tfs_parts.append(pl.tfs)
-                if codec.kind == "tantivy_like":
-                    p_norms_parts.append(
-                        norms_out[fdef.name][p_docs_parts[-1]].astype(np.uint8)
-                    )
-                else:
-                    p_norms_parts.append(np.zeros(pl.docids.size, dtype=np.uint8))
-                if fdef.has_positions:
-                    e = dicts[src]
-                    po, pln = int(e["pos_off"][o]), int(e["pos_len"][o])
-                    pos_parts.append(readers[src]._positions_buf()[po : po + pln])
-                    span_pos_len += pln
-                size += pl.docids.size
-                j += 1
-            merged_terms.append(term)
-            t_sizes.append(size)
-            if fdef.has_positions:
-                for part in pos_parts:
-                    pos_chunks.append(part.tobytes())
-                merged_pos.append((pos_off, span_pos_len))
-                pos_off += span_pos_len
-            else:
-                merged_pos.append((-1, 0))
-            i = j
 
-        if t_sizes:
-            p_docs = np.concatenate(p_docs_parts).astype(np.uint32)
-            p_tfs = np.concatenate(p_tfs_parts).astype(np.uint32)
-            p_norms = np.concatenate(p_norms_parts)
+        if s_terms.size == 0:
+            field_stats[fdef.name] = {"total_tokens": 0, "num_terms": 0}
+            continue
+
+        # per-span (one span = one term's postings in ONE source) metadata,
+        # all aligned with the merge order — everything below is vectorized;
+        # a python per-term loop would dominate at 10 sources x 10^5 terms
+        df_all = np.concatenate([d["df"].astype(np.int64) for d in dicts])[order]
+        span_out_offs = np.concatenate([[0], np.cumsum(df_all)[:-1]])
+        total_docs = int(df_all.sum())
+
+        # merged-term grouping over spans
+        tchange = np.concatenate([[True], s_terms[1:] != s_terms[:-1]])
+        tstart_span = np.flatnonzero(tchange)
+        merged_terms = s_terms[tstart_span].tolist()
+        t_sizes = np.add.reduceat(df_all, tstart_span)
+
+        # merged docid/tf/norm streams via per-source vectorized scatter
+        bulk = [r.all_postings(fdef.name) for r in readers]
+        m_docs = np.empty(total_docs, dtype=np.int64)
+        m_tfs = np.empty(total_docs, dtype=np.uint32)
+        for src in range(len(readers)):
+            mask = s_src == src
+            if not mask.any():
+                continue
+            b_docs, b_tfs, b_starts, _b_ends = bulk[src]
+            ords = s_ord[mask]
+            dst_idx, src_idx = _scatter_spans(
+                span_out_offs[mask], b_starts[ords], df_all[mask]
+            )
+            m_docs[dst_idx] = b_docs[src_idx].astype(np.int64) + offsets[src]
+            m_tfs[dst_idx] = b_tfs[src_idx]
+        if codec.kind == "tantivy_like":
+            m_norms = norms_out[fdef.name][m_docs].astype(np.uint8)
+        else:
+            m_norms = np.zeros(total_docs, dtype=np.uint8)
+
+        # positions: raw byte-span concatenation (runs are self-delimiting:
+        # absolute at run starts), gathered per source in merge order
+        if fdef.has_positions:
+            plen_all = np.concatenate(
+                [d["pos_len"].astype(np.int64) for d in dicts])[order]
+            poff_all = np.concatenate(
+                [d["pos_off"].astype(np.int64) for d in dicts])[order]
+            span_pos_out = np.concatenate([[0], np.cumsum(plen_all)[:-1]])
+            total_pos_bytes = int(plen_all.sum())
+            pos_stream = np.empty(total_pos_bytes, dtype=np.uint8)
+            for src in range(len(readers)):
+                mask = s_src == src
+                if not mask.any():
+                    continue
+                dst_idx, src_idx = _scatter_spans(
+                    span_pos_out[mask], poff_all[mask], plen_all[mask]
+                )
+                pos_stream[dst_idx] = np.asarray(readers[src]._positions_buf())[src_idx]
+            pos_chunks.append(pos_stream.tobytes())
+            term_pos_lens = np.add.reduceat(plen_all, tstart_span)
+            term_pos_offs = pos_off + np.concatenate(
+                [[0], np.cumsum(term_pos_lens)[:-1]])
+            merged_pos = list(zip(term_pos_offs.tolist(), term_pos_lens.tolist()))
+            pos_off += total_pos_bytes
+        else:
+            merged_pos = [(-1, 0)] * len(merged_terms)
+
+        if True:
+            p_docs = m_docs.astype(np.uint32)
+            p_tfs = m_tfs
+            p_norms = m_norms
             ends = np.cumsum(t_sizes)
             starts = ends - np.asarray(t_sizes)
             tf_cum = np.concatenate([[0], np.cumsum(p_tfs.astype(np.int64))])

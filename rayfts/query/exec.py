@@ -111,7 +111,12 @@ def _exec_phrase(q: Phrase, seg: SegmentReader, stats: GlobalStats) -> Matches:
     # fully vectorized phrase matching on fused (doc_rank << 32 | position)
     # keys: one intersect1d per phrase term instead of a Python loop over
     # candidate docs (decisive for stop-word phrases with 10^5+ candidates)
+    _keys_cache: dict[int, np.ndarray] = {}
+
     def fused_keys(pl, o) -> np.ndarray:
+        cached = _keys_cache.get(o)  # repeated terms ("the the") decode once
+        if cached is not None:
+            return cached
         flat, starts, ends = seg.positions_flat(q.field, o, pl.tfs)
         sel = np.searchsorted(pl.docids, common)
         lens = (ends[sel] - starts[sel]).astype(np.int64)
@@ -119,7 +124,9 @@ def _exec_phrase(q: Phrase, seg: SegmentReader, stats: GlobalStats) -> Matches:
         offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
         take = np.repeat(starts[sel], lens) + (np.arange(total) - np.repeat(offs, lens))
         doc_rank = np.repeat(np.arange(sel.size, dtype=np.int64), lens)
-        return (doc_rank << np.int64(32)) | flat[take]
+        out = (doc_rank << np.int64(32)) | flat[take]
+        _keys_cache[o] = out
+        return out
 
     cand = fused_keys(pls[0], ordinals[0]) + 1
     for pl, o in zip(pls[1:], ordinals[1:]):
