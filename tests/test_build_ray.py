@@ -211,3 +211,31 @@ def test_input_mode_resume_reuses_pinned_plan(ray_session, tmp_path):
     assert len(m2.segments) == 10
     for d in done_dirs:  # not rebuilt under the reused plan
         assert os.path.getmtime(os.path.join(d, "postings.bin")) == mtimes[d]
+
+
+def test_multi_file_build_and_query(ray_session, tmp_path):
+    """Input-mode build over a MULTI-file corpus directory: units cover
+    every file, docids stay deterministic, queries work end-to-end."""
+    import pyarrow as pa
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    n = 0
+    for part in range(3):
+        rows = [{"doc_id": part * 100 + i,
+                 "text": f"alpha part{part} token{i} shared"} for i in range(40)]
+        pq.write_table(pa.Table.from_pylist(rows), str(src / f"p{part}.parquet"))
+        n += len(rows)
+    schema = IndexSchema([
+        FieldDef("text", "text", tokenizer="default", record="position", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+    ])
+    idx = str(tmp_path / "idx")
+    m = build_index(str(src), idx, schema, content_col="text",
+                    key_cols=["doc_id"], target_docs_per_segment=25)
+    assert m.num_docs == n and len(m.segments) >= 3
+    s = Searcher(idx)
+    assert s.count({"term": {"text": "shared"}}) == n
+    assert s.count({"term": {"text": "part1"}}) == 40
+    hits = s.query_string("part2 AND token3", limit=5)
+    assert hits and hits[0]["doc"]["doc_id"][0] == 203
