@@ -50,61 +50,93 @@ def count_tokens_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             .append_column("n_bpe_tokens", pa.array(bpe)))
 
 
+def _flat_tokens(batch: pa.Table, col: str):
+    """Whole-column tokenize (RE2 split + lower, C++): returns
+    (flat_lower_tokens: pa.Array incl. empties, doc_idx, counts_all, n)."""
+    import pyarrow.compute as pc
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    sp = pc.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}]+")
+    counts_all = pc.list_value_length(sp).to_numpy().astype(np.int64)
+    flat = pc.utf8_lower(pc.list_flatten(sp))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_all)
+    return flat, doc_idx, counts_all, n
+
+
 def token_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Adds n_tokens, n_types (unique), max_token_len (chars)."""
-    texts = batch[col].to_pylist()
-    n_tok = np.empty(len(texts), dtype=np.int64)
-    n_typ = np.empty(len(texts), dtype=np.int64)
-    mx = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = _tokens(t)
-        n_tok[i] = len(toks)
-        n_typ[i] = len(set(toks))
-        mx[i] = max((len(x) for x in toks), default=0)
+    """Adds n_tokens, n_types (unique), max_token_len (chars).
+    Fully vectorized: Arrow split/lower, per-doc uniques via a fused
+    (code, doc) np.unique, reduceat for the max length."""
+    import pyarrow.compute as pc
+
+    flat, doc_idx, counts_all, n = _flat_tokens(batch, col)
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    nonempty = lens > 0
+    n_tok = np.bincount(doc_idx[nonempty], minlength=n)
+    mx = np.zeros(n, dtype=np.int64)
+    if doc_idx.size:
+        np.maximum.at(mx, doc_idx, lens)
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    fused = codes * n + doc_idx
+    uniq = np.unique(fused[nonempty])
+    n_typ = np.bincount((uniq % n).astype(np.int64), minlength=n)
     return (
-        batch.append_column("n_tokens", pa.array(n_tok))
-        .append_column("n_types", pa.array(n_typ))
+        batch.append_column("n_tokens", pa.array(n_tok.astype(np.int64)))
+        .append_column("n_types", pa.array(n_typ.astype(np.int64)))
         .append_column("max_token_len", pa.array(mx))
     )
 
 
+def _stopword_hits(flat, doc_idx, n, lang: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(
+        flat, value_set=pa.array(sorted(LANG_STOPWORDS[lang]), type=flat.type)
+    ).to_numpy(zero_copy_only=False)
+    return np.bincount(doc_idx[mask], minlength=n).astype(np.int64)
+
+
 def quality_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Quality signals as exact integers (SQL-oracle friendly):
-    n_tokens, n_alpha_chars, n_chars_total, n_stopwords(en)."""
-    texts = batch[col].to_pylist()
-    n = len(texts)
-    n_tok = np.empty(n, dtype=np.int64)
-    n_alpha = np.empty(n, dtype=np.int64)
-    n_char = np.empty(n, dtype=np.int64)
-    n_stop = np.empty(n, dtype=np.int64)
-    stop = LANG_STOPWORDS["en"]
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = _tokens(t)
-        n_tok[i] = len(toks)
-        n_char[i] = len(t)
-        n_alpha[i] = sum(c.isalpha() for c in t)
-        n_stop[i] = sum(1 for x in toks if x in stop)
-    for name, arr in [("n_tokens", n_tok), ("n_alpha_chars", n_alpha),
-                      ("n_chars_total", n_char), ("n_stopwords_en", n_stop)]:
-        batch = batch.append_column(name, pa.array(arr))
+    n_tokens, n_alpha_chars, n_chars_total, n_stopwords(en).
+    Vectorized: Arrow regex strip for the alpha count, is_in + bincount
+    for stopwords."""
+    import pyarrow.compute as pc
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    flat, doc_idx, counts_all, n = _flat_tokens(batch, col)
+    nonempty = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
+    n_tok = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    n_char = pc.utf8_length(arr).to_numpy().astype(np.int64)
+    n_alpha = pc.utf8_length(
+        pc.replace_substring_regex(arr, pattern=r"[^\p{L}]", replacement="")
+    ).to_numpy().astype(np.int64)
+    n_stop = _stopword_hits(flat, doc_idx, n, "en")
+    for name, a in [("n_tokens", n_tok), ("n_alpha_chars", n_alpha),
+                    ("n_chars_total", n_char), ("n_stopwords_en", n_stop)]:
+        batch = batch.append_column(name, pa.array(a))
     return batch
 
 
 def langid_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Stopword-overlap language ID: argmax over per-language stopword hit
-    counts, ties broken alphabetically, 'und' (undetermined) when all zero."""
-    texts = batch[col].to_pylist()
-    out = []
-    for t in texts:
-        toks = _tokens(t)
-        best_lang, best_hits = "und", 0
-        for lang in _LANG_ORDER:
-            hits = sum(1 for x in toks if x in LANG_STOPWORDS[lang])
-            if hits > best_hits:
-                best_lang, best_hits = lang, hits
-        out.append(best_lang)
-    return batch.append_column("lang_pred", pa.array(out, type=pa.string()))
+    counts, ties broken alphabetically, 'und' (undetermined) when all zero.
+    Vectorized: one is_in + bincount per language."""
+    flat, doc_idx, _counts, n = _flat_tokens(batch, col)
+    hits = np.stack([_stopword_hits(flat, doc_idx, n, lang) for lang in _LANG_ORDER])
+    best = np.argmax(hits, axis=0)  # first max wins = alphabetical tie-break
+    any_hit = hits.max(axis=0) > 0
+    langs = np.asarray(_LANG_ORDER, dtype=object)
+    out = np.where(any_hit, langs[best], "und")
+    return batch.append_column("lang_pred", pa.array(out.tolist(), type=pa.string()))
 
 
 _FP_BASE = np.uint64(1099511628211)
