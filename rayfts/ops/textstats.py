@@ -169,11 +169,35 @@ def rolling_fingerprints(toks: list[str], k: int = 5) -> np.ndarray:
 
 def fingerprint_batch(batch: pa.Table, col: str = "text", k: int = 5) -> pa.Table:
     """Winnowing-style doc fingerprint: min rolling k-gram hash (0 when the
-    doc has < k tokens). Content-defined, order-sensitive, deterministic."""
-    texts = batch[col].to_pylist()
-    fp = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        r = rolling_fingerprints(_tokens(t), k)
-        if r.size:
-            fp[i] = r.min()
+    doc has < k tokens). Content-defined, order-sensitive, deterministic.
+    Vectorized: md5 once per UNIQUE token, one global sliding window with
+    cross-doc windows masked out, minimum.reduceat per doc."""
+    import pyarrow.compute as pc
+
+    flat, doc_idx, _counts, n = _flat_tokens(batch, col)
+    nonempty = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
+    denc = flat.dictionary_encode()
+    ind = denc.indices.to_numpy().astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    uh = _token_hashes(uniq)  # md5 per unique only
+    tok_h = uh[ind][nonempty]
+    docs = doc_idx[nonempty]
+    fp = np.zeros(n, dtype=np.uint64)
+    if tok_h.size >= k:
+        with np.errstate(over="ignore"):
+            powers = np.empty(k, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * _FP_BASE
+            win = np.lib.stride_tricks.sliding_window_view(tok_h, k)
+            h = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        same_doc = docs[: docs.size - k + 1] == docs[k - 1:]
+        valid = np.flatnonzero(same_doc)
+        if valid.size:
+            vdocs = docs[valid]
+            starts = np.flatnonzero(
+                np.concatenate([[True], vdocs[1:] != vdocs[:-1]])
+            )
+            mins = np.minimum.reduceat(h[valid], starts)
+            fp[vdocs[starts]] = mins
     return batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
