@@ -328,14 +328,19 @@ def minhash_dedup_pairs(
                          "id_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
     pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
-    # fetch candidate texts with a broadcast-id-set semi-join
-    need = set(pairs["id_a"]).union(pairs["id_b"])
+    # fetch candidate texts with a broadcast-id-set semi-join (sorted array
+    # + searchsorted probe — vectorized, no per-row membership test)
+    need = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                     pairs["id_b"].to_numpy()]).astype(np.int64))
     need_ref = ray.put(need)
 
     def pick(batch: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
-        mask = pa.array([v in wanted for v in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, col])
+        vals = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(wanted, vals)
+        pos[pos >= wanted.size] = 0
+        mask = wanted[pos] == vals if wanted.size else np.zeros(vals.size, bool)
+        return batch.filter(pa.array(mask)).select([id_col, col])
 
     texts = {r[id_col]: r[col] for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
     jac = np.array(
@@ -366,9 +371,38 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    vals = [simhash64(t or "") for t in batch[col].to_pylist()]
+    """Whole-column simhash: Arrow tokenize + per-UNIQUE-token md5, then
+    64 bincount passes (one per bit) accumulate the weighted bit votes of
+    every doc at once. Matches :func:`simhash64` per row exactly."""
+    import pyarrow.compute as pc
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    sp = pc.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}]+")
+    counts_all = pc.list_value_length(sp).to_numpy().astype(np.int64)
+    flat = pc.utf8_lower(pc.list_flatten(sp))
+    denc = flat.dictionary_encode()
+    ind = denc.indices.to_numpy().astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    uh = _token_hashes(uniq)
+    nonempty_u = np.array([len(t) > 0 for t in uniq], dtype=bool)
+    keep = nonempty_u[ind]
+    tok_h = uh[ind][keep]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_all)[keep]
+    votes = np.zeros((n, 64), dtype=np.int64)
+    for b in range(64):
+        bit = ((tok_h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        votes[:, b] = np.bincount(doc_idx, weights=2 * bit - 1, minlength=n)
+    vals = ((votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    vals[np.bincount(doc_idx, minlength=n) == 0] = 0
+    with np.errstate(over="ignore"):
+        shifted = (vals - np.uint64(1 << 63)).astype(np.int64)
     return batch.append_column(
-        "simhash", pa.array([v - (1 << 63) for v in vals], type=pa.int64())
+        "simhash", pa.array(shifted)
     )  # shifted into signed range for Arrow
 
 
