@@ -29,8 +29,10 @@ from rayfts.ops.textstats import _token_hashes, _tokens
 
 
 def add_sha_batch(batch: pa.Table, col: str) -> pa.Table:
+    # NULL is its own group, distinct from "" (SQL GROUP BY semantics):
+    # a sentinel prefix that cannot appear in utf-8 text keeps them apart
     shas = [
-        hashlib.sha256(("" if v is None else str(v)).encode()).hexdigest()
+        hashlib.sha256(b"\x00NULL" if v is None else str(v).encode()).hexdigest()
         for v in batch[col].to_pylist()
     ]
     return batch.append_column("__sha", pa.array(shas, type=pa.string()))
