@@ -105,6 +105,33 @@ def cmd_serve_query(args) -> int:
     return 0
 
 
+def cmd_batch_search(args) -> int:
+    """Bulk query evaluation: a file of query strings (one per line) or a
+    parquet file with a ``query`` column -> top-k per query, written as
+    partitioned parquet (resumable consumption) or printed."""
+    _ensure_ray()
+    import pyarrow as pa
+
+    import ray.data
+
+    from rayfts.query.serve import batch_search
+
+    if args.queries.endswith(".parquet"):
+        qds = ray.data.read_parquet(args.queries)
+    else:
+        with open(args.queries) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        qds = ray.data.from_arrow(pa.table({"query": pa.array(lines)}))
+    out = batch_search(qds, args.index, limit=args.limit)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out.count()}))
+    else:
+        for r in out.take_all():
+            print(json.dumps(r))
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ensure_ray()
     from rayfts.index.merge import merge_index
@@ -165,6 +192,14 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--limit", type=int, default=10)
     sq.add_argument("--actors", type=int, default=4)
     sq.set_defaults(fn=cmd_serve_query)
+
+    bs = sub.add_parser("batch-search", help="bulk query evaluation over a query file")
+    bs.add_argument("--index", required=True)
+    bs.add_argument("--queries", required=True,
+                    help="text file (one query/line) or parquet with a 'query' column")
+    bs.add_argument("--limit", type=int, default=10)
+    bs.add_argument("--out", default=None, help="write results as parquet here")
+    bs.set_defaults(fn=cmd_batch_search)
 
     m = sub.add_parser("merge", help="merge small segments (actor pool)")
     m.add_argument("--index", required=True)

@@ -221,3 +221,29 @@ def test_wand_pruned_union_matches_naive(ray_session, tmp_path_factory):
     naive = [(round(float(scores[i]), 6), int(gids[i])) for i in order]
     got = [(round(h.score, 6), int(h.doc_id)) for h in pruned]
     assert got == naive
+
+
+def test_parser_fuzz_never_crashes():
+    """Property: the string-grammar parser either returns a Query or raises
+    QueryParseError — no other exception for arbitrary input."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.query.parser import QueryParseError, QueryParser
+    from rayfts.query.ast import Query
+
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("size", "u64", indexed=True, stored=True, fast=True),
+    ])
+    parser = QueryParser(schema)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=40))
+    def check(s):
+        try:
+            q = parser.parse(s)
+        except QueryParseError:
+            return
+        assert isinstance(q, Query)
+
+    check()
