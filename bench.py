@@ -138,6 +138,29 @@ def bench_serve_pool(index_dir: str) -> float:
     return dt
 
 
+def bench_batch_qps(index_dir: str, n_queries: int = 2000) -> float:
+    """Bulk-serving throughput: n synthetic queries through the
+    BatchSearchStage actor pool; returns queries/sec."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from rayfts.query.serve import batch_search
+
+    rng = np.random.default_rng(7)
+    base = ["match", "struct", "return", "impl", "enum", "static", "the",
+            "switch case", "+return -void", "ident42"]
+    qs = [base[i % len(base)] + (f" ident{int(x)}" if i % 3 == 0 else "")
+          for i, x in enumerate(rng.integers(0, 20000, n_queries))]
+    qds = ray.data.from_arrow(pa.table({"query": pa.array(qs)}))
+    t0 = time.time()
+    n_rows = batch_search(qds, index_dir, limit=10).count()
+    dt = time.time() - t0
+    assert n_rows > 0
+    return n_queries / dt
+
+
 def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     import ray.data
 
@@ -197,6 +220,9 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
 
     queries["serve_pool_topk6"] = round(bench_serve_pool(idx), 4)
 
+    qps = bench_batch_qps(idx)
+    queries["batch_search_2000q"] = round(2000.0 / qps, 3)
+
     from rayfts.index.build import build_index
 
     docs_idx = _fresh_dir("docs-index")
@@ -220,6 +246,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_docs_per_sec": round(docs_per_sec, 1),
         "build_num_docs": ndocs,
         "build_stage_metrics": stage_metrics,
+        "serve_queries_per_sec": round(qps, 1),
     }
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(docs_idx, ignore_errors=True)

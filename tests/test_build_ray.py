@@ -239,3 +239,31 @@ def test_multi_file_build_and_query(ray_session, tmp_path):
     assert s.count({"term": {"text": "part1"}}) == 40
     hits = s.query_string("part2 AND token3", limit=5)
     assert hits and hits[0]["doc"]["doc_id"][0] == 203
+
+
+def test_giant_document(ray_session, tmp_path):
+    """A single pathological 200k-token document builds, scores and
+    phrase-matches correctly (positions stay int32-safe; no truncation)."""
+    import pyarrow as pa
+
+    big = " ".join(f"tok{i % 5000}" for i in range(200_000)) + " needle needle"
+    tbl = pa.Table.from_pylist([
+        {"doc_id": 0, "text": big},
+        {"doc_id": 1, "text": "short needle doc"},
+    ])
+    src = str(tmp_path / "giant.parquet")
+    pq.write_table(tbl, src)
+    schema = IndexSchema([
+        FieldDef("text", "text", tokenizer="default", record="position", stored=False),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+    ])
+    idx = str(tmp_path / "gidx")
+    m = build_index(src, idx, schema, content_col="text", key_cols=["doc_id"])
+    assert m.num_docs == 2
+    s = Searcher(idx)
+    assert s.count({"term": {"text": "needle"}}) == 2
+    hits = s.query_string('"needle needle"', limit=5)
+    assert [h["doc"]["doc_id"][0] for h in hits] == [0]
+    # tf of tok0 in the giant doc is 40 (200k / 5000)
+    gids, scores = s.matches({"term": {"text": "tok0"}})
+    assert gids.size == 1
