@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_ROOT = "/tmp/rayfts_bench"
-CODE_CORPUS_DOCS = int(os.environ.get("RAYFTS_BENCH_DOCS", "30000"))
+CODE_CORPUS_DOCS = int(os.environ.get("RAYFTS_BENCH_DOCS", "120000"))
 SCALING_DOCS = int(os.environ.get("RAYFTS_SCALING_DOCS", "1200000"))
 
 # reference-style query set over the synthetic code corpus vocabulary

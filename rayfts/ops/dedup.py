@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale corpora.
 
-- exact_dedup:   sha256 hash-partition + per-group first-wins
+- exact_dedup:   sha256 + per-batch combiner + native min-aggregate
 - minhash_lsh:   shingle -> minhash signature -> banded LSH buckets ->
                  candidate pairs -> exact-Jaccard verification
 - simhash:       64-bit simhash + banded hamming-neighbor candidates

@@ -184,6 +184,10 @@ def batch_search(ds, index_dir: str, limit: int = 10, query_col: str = "query",
         except Exception:
             cpus = 8
         concurrency = (1, max(2, cpus // 2))
+    # a single-block query set would feed ONE task -> one actor; split so
+    # the whole pool works (4 batches per max actor keeps the pool busy)
+    max_actors = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    ds = ds.repartition(max(1, int(max_actors) * 4))
     return ds.map_batches(
         BatchSearchStage,
         fn_constructor_kwargs={"index_dir": index_dir, "limit": limit,
