@@ -146,6 +146,62 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Exact-dedup a parquet corpus: write kept ids (or full rows)."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.dedup import exact_dedup, exact_dedup_ids
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    ds = ray.data.read_parquet(paths)
+    if args.full_rows:
+        out = exact_dedup(ds, col=args.col, id_col=args.id_col)
+    else:
+        out = exact_dedup_ids(ds, col=args.col, id_col=args.id_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_term_stats(args) -> int:
+    """Corpus (term, df, cf) table via the salted term shuffle."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.termstats import term_stats_ds
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    out = term_stats_ds(ray.data.read_parquet(paths), col=args.col,
+                        analyzer=args.analyzer, salt_buckets=args.salt_buckets)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_postings_export(args) -> int:
+    """Term-partitioned global posting lists (groupby-term shuffle)."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.postings_export import build_term_postings
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    summary = build_term_postings(
+        ray.data.read_parquet(paths), args.out, col=args.col,
+        id_col=args.id_col, analyzer=args.analyzer, num_buckets=args.buckets,
+    )
+    print(json.dumps({"out": args.out, "buckets": summary.num_rows,
+                      "terms": int(sum(summary["terms"].to_pylist()))}))
+    return 0
+
+
 def cmd_info(args) -> int:
     from rayfts.index.manifest import build_metrics_summary, read_manifest
 
@@ -206,6 +262,32 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--group-size", type=int, default=8)
     m.add_argument("--concurrency", type=int, default=4)
     m.set_defaults(fn=cmd_merge)
+
+    dd = sub.add_parser("dedup-exact", help="exact dedup of a parquet corpus")
+    dd.add_argument("--input", nargs="+", required=True)
+    dd.add_argument("--col", default="content")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--full-rows", action="store_true")
+    dd.set_defaults(fn=cmd_dedup)
+
+    ts = sub.add_parser("term-stats", help="(term, df, cf) over a corpus")
+    ts.add_argument("--input", nargs="+", required=True)
+    ts.add_argument("--col", default="content")
+    ts.add_argument("--analyzer", default="en_stem")
+    ts.add_argument("--salt-buckets", type=int, default=1)
+    ts.add_argument("--out", required=True)
+    ts.set_defaults(fn=cmd_term_stats)
+
+    pe = sub.add_parser("postings-export",
+                        help="term-partitioned global posting lists")
+    pe.add_argument("--input", nargs="+", required=True)
+    pe.add_argument("--col", default="content")
+    pe.add_argument("--id-col", default="doc_id")
+    pe.add_argument("--analyzer", default="en_stem")
+    pe.add_argument("--buckets", type=int, default=32)
+    pe.add_argument("--out", required=True)
+    pe.set_defaults(fn=cmd_postings_export)
 
     i = sub.add_parser("info", help="print manifest (segments, lineage, metrics)")
     i.add_argument("--index", required=True)
