@@ -300,7 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def facet_lang(sf):
         s = _docs_index(sf, "oracle")
-        res = s._facet_counts(Term("text", T_MID), {"lang": [""]})
+        res = s.facet_counts(Term("text", T_MID), {"lang": [""]})
         return pa.table({
             "term": pa.array([f["term"] for f in res], type=pa.string()),
             "cnt": pa.array([f["count"] for f in res], type=pa.int64()),

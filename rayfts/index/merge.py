@@ -43,6 +43,7 @@ from rayfts.index.segment import (
     TERMS_FILE,
     SegmentInfo,
     SegmentReader,
+    write_facet_sidecar,
 )
 from rayfts.codec.postings import encode_postings_batch
 
@@ -204,8 +205,16 @@ def merge_segment_group(
         f.write(b"".join(pos_chunks))
     np.savez(os.path.join(tmp, NORMS_FILE), **norms_out)
     stores = [r.store() for r in readers]
-    pq.write_table(pa.concat_tables(stores, promote_options="default"),
-                   os.path.join(tmp, STORE_FILE))
+    merged_store = pa.concat_tables(stores, promote_options="default")
+    pq.write_table(merged_store, os.path.join(tmp, STORE_FILE))
+    write_facet_sidecar(
+        tmp,
+        {
+            f.name: merged_store[f.name]
+            for f in schema.fields
+            if f.type == "facet" and f.name in merged_store.column_names
+        },
+    )
 
     info = SegmentInfo(
         segment_id=out_id,

@@ -13,6 +13,8 @@ import json
 from dataclasses import dataclass, field as dc_field
 
 TEXT = "text"
+FACET = "facet"
+BYTES = "bytes"
 NUMERIC_TYPES = ("u64", "i64", "f64", "date")
 
 
@@ -38,6 +40,8 @@ class FieldDef:
                 if self.indexed
                 else None
             )
+        elif self.type in (FACET, BYTES):
+            opts = {"stored": self.stored}
         else:
             opts = {"stored": self.stored, "indexed": self.indexed,
                     "fast": "single" if self.fast else None}
@@ -56,6 +60,16 @@ class FieldDef:
                 tokenizer=(indexing or {}).get("tokenizer", "en_stem"),
                 stored=opts.get("stored", True),
                 fast=bool(opts.get("fast")),
+            )
+        if typ in (FACET, BYTES):
+            # facet: hierarchical '/a/b' paths, dictionary-encoded at segment
+            # build time, counted by the facet collector; bytes: opaque
+            # stored binary (tantivy 0.18 accepts both through the schema
+            # JSON passthrough — /root/reference/src-rust/handles.rs:42-48)
+            return FieldDef(
+                name=d["name"], type=typ, indexed=False,
+                record="basic", tokenizer="raw",
+                stored=opts.get("stored", True), fast=False,
             )
         return FieldDef(
             name=d["name"], type=typ,

@@ -39,7 +39,7 @@ from rayfts.analysis.analyzer import Analyzer
 from rayfts.codec.fieldnorm import FieldNormCodec
 from rayfts.codec.postings import PostingList, decode_postings, encode_postings_batch
 from rayfts.codec.varint import decode_varints, encode_varints, varint_lengths
-from rayfts.index.schema import IndexSchema, TEXT
+from rayfts.index.schema import FACET, IndexSchema, TEXT
 
 TERMS_FILE = "terms.parquet"
 POSTINGS_FILE = "postings.bin"
@@ -47,6 +47,8 @@ POSITIONS_FILE = "positions.bin"
 NORMS_FILE = "norms.npz"
 STORE_FILE = "store.parquet"
 META_FILE = "segment.json"
+FACETS_FILE = "facets.parquet"       # per-field facet path dictionary
+FACET_CODES_FILE = "facet_codes.npz"  # per-field int32 code per local docid
 
 
 @dataclass
@@ -86,6 +88,35 @@ def _encode_position_stream(pos_sorted: np.ndarray, run_starts: np.ndarray) -> n
     deltas[1:] = pos_sorted[1:] - pos_sorted[:-1]
     deltas[run_starts] = pos_sorted[run_starts]
     return deltas.astype(np.uint64)
+
+
+def write_facet_sidecar(dir_path: str, columns: dict[str, pa.ChunkedArray | pa.Array]) -> None:
+    """Write the facet dictionary sidecar for a segment directory:
+    ``facet_codes.npz`` (int32 code per local docid, -1 = null) and
+    ``facets.parquet`` (field, code, path) with paths sorted per field so
+    codes are ordinal in path order. Shared by build and merge."""
+    if not columns:
+        return
+    codes_out: dict[str, np.ndarray] = {}
+    rows = {"field": [], "code": [], "path": []}
+    for name, col in columns.items():
+        vals = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") else np.asarray(col)
+        codes, uniques = pd.factorize(vals, sort=True)
+        codes_out[name] = codes.astype(np.int32)
+        rows["field"].extend([name] * len(uniques))
+        rows["code"].extend(range(len(uniques)))
+        rows["path"].extend(str(u) for u in uniques)
+    np.savez(os.path.join(dir_path, FACET_CODES_FILE), **codes_out)
+    pq.write_table(
+        pa.table(
+            {
+                "field": pa.array(rows["field"], type=pa.string()),
+                "code": pa.array(rows["code"], type=pa.int32()),
+                "path": pa.array(rows["path"], type=pa.string()),
+            }
+        ),
+        os.path.join(dir_path, FACETS_FILE),
+    )
 
 
 # per-worker-process analyzer cache: the Porter2 stem cache inside each
@@ -298,6 +329,19 @@ def build_segment(
         f.write(b"".join(positions_chunks))
     np.savez(os.path.join(tmp_dir, NORMS_FILE), **norms_out)
 
+    # facet fields: dictionary-encode '/a/b' paths at build time (code per
+    # doc + sorted path dictionary) so the facet collector is one bincount
+    # over matched docs instead of a string scan (tantivy indexes facets
+    # as a term dictionary — SURVEY.md §2.3 #26)
+    write_facet_sidecar(
+        tmp_dir,
+        {
+            f.name: table[f.name]
+            for f in schema.fields
+            if f.type == FACET and f.name in table.column_names
+        },
+    )
+
     stored_cols = [f.name for f in schema.stored_fields if f.name in table.column_names]
     extra_cols = [c for c in table.column_names if c.startswith("__") or c == "content_sha256"]
     store_table = table.select(stored_cols + [c for c in extra_cols if c not in stored_cols])
@@ -346,6 +390,7 @@ class SegmentReader:
         self._norms: dict[str, np.ndarray] | None = None
         self._store: pa.Table | None = None
         self._terms_table: pa.Table | None = None
+        self._facets: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     # -- lazy loads ----------------------------------------------------
     def _terms(self, field: str) -> dict:
@@ -509,3 +554,32 @@ class SegmentReader:
 
     def fast_column(self, name: str) -> np.ndarray:
         return self.store()[name].to_numpy(zero_copy_only=False)
+
+    def facet_dict(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """Facet dictionary of a field: ``(codes, paths)`` where ``codes``
+        is an int32 code per local docid (-1 = null) and ``paths`` the
+        path per code. Prefers the build-time sidecar; falls back to
+        dictionary-encoding the stored column once (cached) for segments
+        written without one (e.g. pre-facet-sidecar builds)."""
+        cached = self._facets.get(field)
+        if cached is not None:
+            return cached
+        codes = None
+        codes_path = os.path.join(self.path, FACET_CODES_FILE)
+        if os.path.exists(codes_path):
+            with np.load(codes_path) as z:
+                if field in z.files:
+                    codes = z[field]
+        if codes is not None:
+            t = pq.read_table(os.path.join(self.path, FACETS_FILE))
+            sub = t.filter(pa.compute.equal(t["field"], field))
+            paths = np.asarray(sub["path"].to_pylist(), dtype=object)
+        else:
+            enc = self.store()[field].combine_chunks().dictionary_encode()
+            idx = enc.indices
+            if idx.null_count:
+                idx = pa.compute.fill_null(idx, -1)
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int32)
+            paths = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        self._facets[field] = (codes, paths)
+        return codes, paths

@@ -101,6 +101,15 @@ class Searcher:
             self.avgdl[f.name] = (total / self.n_docs) if self.n_docs else 1.0
         self.parser = QueryParser(self.schema, compat_break=compat_default_fields)
         self._analyzers: dict[str, Analyzer] = {}
+        # instrumentation: number of per-segment query evaluations (the
+        # multi-collector contract is ONE execute per segment per search,
+        # mirroring the reference's single searcher.search pass with a
+        # MultiCollector — /root/reference/src-rust/search.rs:17-64)
+        self.execute_calls = 0
+
+    def _execute(self, query: Query, reader: SegmentReader, stats: GlobalStats):
+        self.execute_calls += 1
+        return execute(query, reader, stats)
 
     # -- stats ---------------------------------------------------------
     def global_df(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
@@ -158,16 +167,15 @@ class Searcher:
             if pairs is not None:
                 docids, scores = top_k_term_union(reader, stats, pairs, limit)
             else:
-                docids, scores = execute(query, reader, stats)
+                docids, scores = self._execute(query, reader, stats)
             if docids.size == 0:
                 continue
-            k = min(limit, docids.size)
-            if docids.size > k:
-                part = np.argpartition(-scores, k - 1)[:k]
-                docids, scores = docids[part], scores[part]
-            order = np.lexsort((docids, -scores))
+            # tie-safe per-segment trim: lexsort respects the documented
+            # (score desc, docid asc) tie-break, so equal-score docs at the
+            # k-th boundary keep the smallest docids (merge-invariant)
+            keep = np.lexsort((docids, -scores))[: min(limit, docids.size)]
             off = self.offsets[self.segments[si].segment_id]
-            for i in order:
+            for i in keep:
                 merged.append((-float(scores[i]), off + int(docids[i]), si, int(docids[i])))
         merged.sort()
         out = []
@@ -185,7 +193,7 @@ class Searcher:
     def count(self, q: Query | str | dict) -> int:
         query = self._resolve(q)
         stats = self.stats_for(query)
-        return sum(int(execute(query, r, stats)[0].size) for r in self.readers)
+        return sum(int(self._execute(query, r, stats)[0].size) for r in self.readers)
 
     def matches(self, q: Query | str | dict) -> tuple[np.ndarray, np.ndarray]:
         """All matching (global docids, scores) across segments."""
@@ -193,7 +201,7 @@ class Searcher:
         stats = self.stats_for(query)
         ids, scs = [], []
         for si, r in enumerate(self.readers):
-            d, s = execute(query, r, stats)
+            d, s = self._execute(query, r, stats)
             off = self.offsets[self.segments[si].segment_id]
             ids.append(d.astype(np.int64) + off)
             scs.append(s)
@@ -263,6 +271,11 @@ class Searcher:
 
     # -- structured search (toshi Search) ------------------------------
     def search(self, search: Search | dict) -> SearchResults:
+        """Single-pass multi-collector: the query is evaluated ONCE per
+        segment and the match set feeds all requested accumulators — BM25
+        top-k, sort-by-fast-field top-k, and facet counts — mirroring the
+        reference's one ``searcher.search`` over a ``MultiCollector``
+        (``/root/reference/src-rust/search.rs:17-64``)."""
         if isinstance(search, dict):
             search = search_from_dsl(search)
         query = self._resolve(search.query)
@@ -273,16 +286,42 @@ class Searcher:
             fdef = self.schema.field(search.sort_by)
             if fdef.fast and fdef.stored:
                 sort_field = search.sort_by
-        if sort_field is not None:
-            hits = self._top_k_by_fast_field(query, sort_field, search.limit)
+        limit = search.limit
+        if sort_field is None and not search.facets:
+            hits = self.top_k(query, limit)  # pruned (block-max) path
         else:
-            hits = self.top_k(query, search.limit)
+            stats = self.stats_for(query)
+            rows: list[tuple[float, int, int, int]] = []  # (-key, gdoc, si, local)
+            facet_acc: dict[str, dict[str, int]] = {}
+            for si, reader in enumerate(self.readers):
+                docids, scores = self._execute(query, reader, stats)
+                if docids.size == 0:
+                    continue
+                off = self.offsets[self.segments[si].segment_id]
+                k = min(limit, docids.size)
+                if sort_field is not None:
+                    # order by fast value desc; reported score = the value
+                    # cast to float (search.rs:67-77)
+                    keyvals = reader.fast_column(sort_field)[docids].astype(np.float64)
+                else:
+                    keyvals = scores
+                for i in np.lexsort((docids, -keyvals))[:k]:
+                    rows.append((-float(keyvals[i]), off + int(docids[i]), si, int(docids[i])))
+                if search.facets:
+                    self._accumulate_facets(reader, docids, search.facets, facet_acc)
+            rows.sort()
+            hits = [
+                Hit(score=-nv, doc_id=g, segment=self.segments[si].segment_id, local_docid=l)
+                for nv, g, si, l in rows[:limit]
+            ]
         for h in hits:
             si = next(i for i, s_ in enumerate(self.segments) if s_.segment_id == h.segment)
             h.doc = self._fetch_doc(si, h.local_docid)
-        facets = []
+        facets: list[dict] = []
         if search.facets:
-            facets = self._facet_counts(query, search.facets)
+            for field in search.facets:
+                for term, cnt in sorted(facet_acc.get(field, {}).items()):
+                    facets.append({"term": term, "count": cnt})
         return SearchResults(hits=len(hits), docs=hits, facets=facets)
 
     def _top_k_by_fast_field(self, query: Query, field: str, limit: int) -> list[Hit]:
@@ -292,14 +331,14 @@ class Searcher:
         stats = self.stats_for(query)
         rows: list[tuple[float, int, int, int]] = []
         for si, r in enumerate(self.readers):
-            docids, _ = execute(query, r, stats)
+            docids, _ = self._execute(query, r, stats)
             if docids.size == 0:
                 continue
             vals = r.fast_column(field)[docids].astype(np.float64)
-            k = min(limit, docids.size)
-            part = np.argpartition(-vals, k - 1)[:k] if docids.size > k else np.arange(docids.size)
+            # tie-safe trim: (value desc, docid asc)
+            keep = np.lexsort((docids, -vals))[: min(limit, docids.size)]
             off = self.offsets[self.segments[si].segment_id]
-            for i in part:
+            for i in keep:
                 rows.append((-float(vals[i]), off + int(docids[i]), si, int(docids[i])))
         rows.sort()
         return [
@@ -307,31 +346,73 @@ class Searcher:
             for nv, g, si, l in rows[:limit]
         ]
 
-    def _facet_counts(self, query: Query, facets: dict[str, list[str]]) -> list[dict]:
-        """Counts of child facet paths under each requested prefix, over the
-        matching docs. Facet values are stored as '/a/b' paths; a doc's
-        value matches prefix '/a' contributing to child '/a/b'."""
+    def facet_counts(
+        self, q: Query | str | dict, facets: dict[str, list[str]]
+    ) -> list[dict]:
+        """Standalone facet counting (one execute per segment)."""
+        query = self._resolve(q)
         stats = self.stats_for(query)
+        acc: dict[str, dict[str, int]] = {}
+        for reader in self.readers:
+            docids, _ = self._execute(query, reader, stats)
+            if docids.size:
+                self._accumulate_facets(reader, docids, facets, acc)
         out: list[dict] = []
-        for field, prefixes in facets.items():
-            counts: dict[str, int] = {}
-            for si, r in enumerate(self.readers):
-                docids, _ = execute(query, r, stats)
-                if docids.size == 0:
-                    continue
-                vals = r.store()[field].to_numpy(zero_copy_only=False)[docids]
-                for prefix in prefixes:
-                    pre = prefix.rstrip("/")
-                    depth = len([p for p in pre.split("/") if p])
-                    for v in vals:
-                        if v is None or not str(v).startswith(pre):
-                            continue
-                        parts = [p for p in str(v).split("/") if p]
-                        child = "/" + "/".join(parts[: depth + 1])
-                        counts[child] = counts.get(child, 0) + 1
-            for term, cnt in sorted(counts.items()):
+        for field in facets:
+            for term, cnt in sorted(acc.get(field, {}).items()):
                 out.append({"term": term, "count": cnt})
         return out
+
+    def _accumulate_facets(
+        self,
+        reader: SegmentReader,
+        docids: np.ndarray,
+        facets: dict[str, list[str]],
+        acc: dict[str, dict[str, int]],
+    ) -> None:
+        """Facet counting for one segment's match set, vectorized over docs.
+
+        Facet values are '/a/b' paths; a doc value matching prefix '/a'
+        contributes to child '/a/b'. The doc dimension (large) is reduced
+        with Arrow/numpy kernels — ``facet`` fields use the build-time
+        dictionary codes (one ``bincount``), other stored string fields a
+        ``value_counts``; only the handful of UNIQUE facet paths are
+        touched in Python."""
+        import pyarrow.compute as pc
+
+        for field, prefixes in facets.items():
+            counts = acc.setdefault(field, {})
+            fdef = self.schema.field(field)
+            if fdef.type == "facet":
+                codes, paths = reader.facet_dict(field)
+                sel = codes[docids]
+                sel = sel[sel >= 0]
+                if sel.size == 0:
+                    continue
+                per_code = np.bincount(sel, minlength=len(paths))
+                items = [
+                    (str(paths[i]), int(per_code[i])) for i in np.flatnonzero(per_code)
+                ]
+            else:
+                col = reader.store()[field]
+                vals = col.take(pa.array(docids.astype(np.int64)))
+                vc = pc.value_counts(vals.combine_chunks())
+                items = [
+                    (str(v), int(c))
+                    for v, c in zip(
+                        vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+                    )
+                    if v is not None
+                ]
+            for v, c in items:
+                for prefix in prefixes:
+                    pre = prefix.rstrip("/")
+                    if not v.startswith(pre):
+                        continue
+                    depth = len([p for p in pre.split("/") if p])
+                    parts = [p for p in v.split("/") if p]
+                    child = "/" + "/".join(parts[: depth + 1])
+                    counts[child] = counts.get(child, 0) + c
 
     # -- tabular output (for oracle comparisons & Dataset sinks) -------
     def hits_table(

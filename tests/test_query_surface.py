@@ -247,3 +247,110 @@ def test_parser_fuzz_never_crashes():
         assert isinstance(q, Query)
 
     check()
+
+
+def test_tie_safe_per_segment_trim(tmp_path_factory):
+    """With more equal-score matches than the limit, the per-segment trim
+    must keep the SMALLEST docids ((score desc, docid asc) tie-break) so
+    results are invariant to segment boundaries (ADVICE r1)."""
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("tie")))
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("id", "text", indexed=False),
+    ])
+    h = cat.create_index("t", schema)
+    # two segments of identical docs -> all scores equal
+    h.add_documents([{"id": f"a{i}", "body": "tied token"} for i in range(8)])
+    h.add_documents([{"id": f"b{i}", "body": "tied token"} for i in range(8)])
+    s = h.searcher()
+    hits = s.top_k({"term": {"body": "tied"}}, limit=5)
+    assert [hh.doc_id for hh in hits] == [0, 1, 2, 3, 4]
+    # sort-by-fast-field trim has the same contract
+    schema2 = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("size", "u64", indexed=True, stored=True, fast=True),
+    ])
+    h2 = cat.create_index("t2", schema2)
+    h2.add_documents([{"body": "tied", "size": 7} for _ in range(8)])
+    h2.add_documents([{"body": "tied", "size": 7} for _ in range(8)])
+    res = h2.query_json({"query": {"term": {"body": "tied"}}, "limit": 5, "sort_by": "size"})
+    assert [d.doc_id for d in res.docs] == [0, 1, 2, 3, 4]
+
+
+def test_single_pass_multi_collector(idx):
+    """SURVEY §10 #29: one execute() per segment per search even when
+    top-k + sort_by + facets are all requested (the reference uses a
+    single MultiCollector pass — search.rs:17-64)."""
+    s = idx.searcher()
+    nseg = len(s.readers)
+    s.execute_calls = 0
+    res = s.search({"query": {"term": {"body": "beta"}}, "limit": 3,
+                    "sort_by": "size", "facets": {"facet": ["/top"]}})
+    assert res.hits == 3 and res.facets
+    assert s.execute_calls == nseg
+    s.execute_calls = 0
+    res = s.search({"query": {"term": {"body": "beta"}}, "limit": 3,
+                    "facets": {"facet": ["/top"]}})
+    assert res.facets and s.execute_calls == nseg
+
+
+def test_facet_field_type_build_time_dictionary(tmp_path_factory):
+    """`facet`-typed fields are dictionary-encoded at segment build time
+    (facets.parquet + facet_codes.npz) and survive merges."""
+    import os
+
+    from rayfts.index.merge import merge_segment_group
+    from rayfts.index import manifest as mf
+
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("fac")))
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("cat", "facet"),
+    ])
+    h = cat.create_index("f", schema)
+    h.add_documents([
+        {"body": "x one", "cat": "/top/en"},
+        {"body": "x two", "cat": "/top/de"},
+    ])
+    h.add_documents([
+        {"body": "x three", "cat": "/top/en"},
+        {"body": "y four", "cat": "/top/fr"},
+    ])
+    seg0 = h.manifest.ordered_segments()[0].segment_id
+    segdir = mf.segment_path(h.path, seg0)
+    assert os.path.exists(os.path.join(segdir, "facets.parquet"))
+    assert os.path.exists(os.path.join(segdir, "facet_codes.npz"))
+    res = h.query_json({"query": {"term": {"body": "x"}}, "limit": 10,
+                        "facets": {"cat": ["/top"]}})
+    got = {f["term"]: f["count"] for f in res.facets}
+    assert got == {"/top/en": 2, "/top/de": 1}
+    # schema JSON round-trip keeps the type
+    rt = IndexSchema.from_json(schema.to_json())
+    assert rt.field("cat").type == "facet"
+    # merge the two segments; facet sidecar regenerated over merged store
+    ids_ = [s.segment_id for s in h.manifest.ordered_segments()]
+    merge_segment_group(h.path, schema.to_json(), ids_)
+    from rayfts.index.segment import SegmentReader
+    from rayfts.index.merge import merged_segment_id
+    r = SegmentReader(mf.segment_path(h.path, merged_segment_id(ids_)), schema)
+    codes, paths = r.facet_dict("cat")
+    assert list(paths) == ["/top/de", "/top/en", "/top/fr"]
+    assert codes.tolist() == [1, 0, 1, 2]
+
+
+def test_bytes_field_roundtrip(tmp_path_factory):
+    """`bytes`-typed fields store opaque binary and come back verbatim
+    (tantivy 0.18 schema surface — handles.rs:42-48 passthrough)."""
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("byt")))
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("payload", "bytes"),
+    ])
+    rt = IndexSchema.from_json(schema.to_json())
+    assert rt.field("payload").type == "bytes" and not rt.field("payload").indexed
+    h = cat.create_index("b", schema)
+    blob = b"\x00\x01\xfe binary!"
+    h.add_documents([{"body": "findme", "payload": blob}])
+    res = h.query_json({"query": {"term": {"body": "findme"}}, "limit": 10})
+    assert res.hits == 1
+    assert res.docs[0].doc["payload"] == [blob]
