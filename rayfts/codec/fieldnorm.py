@@ -1,15 +1,19 @@
 """Fieldnorm (document length) codecs.
 
 tantivy 0.18 quantizes per-doc-per-field token counts to one byte via a
-256-entry table whose ids 0..=40 decode exactly to 0..=40 and whose tail
-grows geometrically (SURVEY.md §8.3). The exact tail values of tantivy's
-table were not retrievable in this sandbox, so the codec is pluggable:
+static 256-entry table (``src/fieldnorm/code.rs``, public tantivy
+source): ids 0..=40 decode exactly to 0..=40; above 40 the table is a
+3-bit-mantissa floating-point ladder — 8 ids per octave with the step
+doubling each octave (42,44,..,56 step 2; 60,64,..,88 step 4;
+96,104,..,152 step 8; ...), truncated at 256 entries, so the relative
+quantization error above 40 tokens is bounded by ~12.5%. Encoding maps
+a count to the LARGEST id whose decoded value <= count
+(``fieldnorm_to_id`` = ``binary_search .. unwrap_or_else(|idx| idx-1)``).
 
-- ``"tantivy_like"`` (default): ids 0..=40 exact; above 40 a documented
-  2-bit-mantissa geometric table (groups of 4 ids, step doubling each
-  group: 42,44,46,48, 52,56,60,64, 72,80,88,96, 112,...). Encoding maps a
-  count to the largest id whose decoded value <= count. All BM25 parity
-  tests keep fields < 41 tokens, where this codec is the identity.
+Codecs:
+
+- ``"tantivy_like"`` (default): the table above — BM25 score parity with
+  tantivy 0.18 for any document length.
 - ``"exact"``: u32 token counts, no quantization (used by indexes whose
   results are checked against a SQL oracle that computes true lengths).
 """
@@ -20,16 +24,20 @@ import numpy as np
 
 
 def _build_table() -> np.ndarray:
+    """tantivy 0.18 FIELD_NORMS_TABLE: exact 0..=40, then 8 ids per
+    octave with doubling step, truncated to 256 entries. Anchor values
+    (ids 41,48,49,56,57,64,248,255 -> 42,56,60,88,96,152,1073741848,
+    2013265944) pin the construction; end-of-octave-k value is
+    2**(k+4) + 24."""
     vals = list(range(41))
-    step, in_group = 2, 0
-    v = 40
+    v, step = 40, 2
     while len(vals) < 256:
-        v += step
-        vals.append(v)
-        in_group += 1
-        if in_group == 4:
-            in_group = 0
-            step *= 2
+        for _ in range(8):
+            v += step
+            vals.append(v)
+            if len(vals) == 256:
+                break
+        step *= 2
     return np.array(vals, dtype=np.int64)
 
 

@@ -361,27 +361,49 @@ def build_index(
     if is_paths:
         ds = ray.data.read_parquet(paths, columns=columns)
 
-    if num_segments is None:
-        num_segments = max(2 * cpus, 8)
-
-    # open-or-create, and reconcile build params for resume
+    # open-or-create; num_segments is PINNED in build_params at index
+    # creation: hash-mode routing is `hash(key) % num_segments`, so a
+    # resume that re-derived it from the (different) cluster size would
+    # re-route every row, empty the done-set, and silently drop/duplicate
+    # documents when rebuilt segment ids collide with committed ones
     if mf.manifest_exists(index_dir):
         manifest = mf.read_manifest(index_dir)
         adopted = mf.recover_orphan_segments(index_dir, manifest)
         if adopted:
             logger.info("recovered %d orphan segment checkpoints", len(adopted))
+        if manifest.segments and not resume:
+            raise ValueError(f"index at {index_dir} already has segments and resume=False")
+        pinned = manifest.build_params.get("num_segments")
+        if pinned is not None:
+            if num_segments is not None and int(num_segments) != int(pinned):
+                raise ValueError(
+                    f"num_segments={num_segments} conflicts with the value "
+                    f"pinned at index creation ({pinned}); hash-mode segment "
+                    "routing cannot change across resumes"
+                )
+            num_segments = int(pinned)
+        elif num_segments is None:
+            num_segments = max(2 * cpus, 8)
+        if not manifest.build_params:
+            manifest.build_params = {
+                "partition_mode": "hash", "num_segments": int(num_segments)
+            }
+            mf.write_manifest(index_dir, manifest)
         done = {
             s.lineage.get("seg_mod")
             for s in manifest.segments
             if s.lineage.get("num_segments") == num_segments
         }
-        if manifest.segments and not resume:
-            raise ValueError(f"index at {index_dir} already has segments and resume=False")
         if set(range(num_segments)) <= done:
             logger.info("build_index: all %d segments committed; nothing to do", num_segments)
             return manifest
     else:
-        manifest = mf.Manifest(name=index_name, schema=schema)
+        if num_segments is None:
+            num_segments = max(2 * cpus, 8)
+        manifest = mf.Manifest(
+            name=index_name, schema=schema,
+            build_params={"partition_mode": "hash", "num_segments": int(num_segments)},
+        )
         mf.write_manifest(index_dir, manifest)
         done = set()
 

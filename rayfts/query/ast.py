@@ -30,6 +30,10 @@ class Term(Query):
 class Phrase(Query):
     field: str
     terms: tuple[str, ...]
+    # token ordinals from the analyzer; None = consecutive (0..n-1). A
+    # RemoveLong-dropped query token leaves a gap the match must respect
+    # (tantivy's position-carrying PhraseQuery semantics)
+    offsets: tuple[int, ...] | None = None
 
 
 @dataclass

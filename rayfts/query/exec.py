@@ -128,12 +128,16 @@ def _exec_phrase(q: Phrase, seg: SegmentReader, stats: GlobalStats) -> Matches:
         _keys_cache[o] = out
         return out
 
-    cand = fused_keys(pls[0], ordinals[0]) + 1
-    for pl, o in zip(pls[1:], ordinals[1:]):
-        cand = np.intersect1d(cand, fused_keys(pl, o), assume_unique=True) + 1
+    # expected position of term j = p0 + (ordinal_j - ordinal_0); offsets
+    # default to consecutive but carry analyzer gaps (dropped tokens)
+    offs = q.offsets if q.offsets is not None else tuple(range(len(q.terms)))
+    cand = fused_keys(pls[0], ordinals[0])
+    for j in range(1, len(pls)):
+        gap = np.int64(offs[j] - offs[j - 1])
+        cand = np.intersect1d(cand + gap, fused_keys(pls[j], ordinals[j]), assume_unique=True)
         if cand.size == 0:
             return _EMPTY
-    phrase_tfs = np.bincount((cand - 1) >> np.int64(32), minlength=common.size).astype(np.uint32)
+    phrase_tfs = np.bincount(cand >> np.int64(32), minlength=common.size).astype(np.uint32)
     keep = phrase_tfs > 0
     docids = common[keep].astype(np.uint32)
     if docids.size == 0:

@@ -208,16 +208,28 @@ class QueryParser:
             return clauses[0] if len(clauses) == 1 else Bool(should=clauses)
         raise QueryParseError(f"expected a value, got {t['text']!r}")
 
+    @staticmethod
+    def _make_phrase(field: str, toks: list[str], poss: list[int]) -> Phrase:
+        """Carry analyzer ordinals into the phrase: a RemoveLong-dropped
+        token leaves a position gap the match must respect — the index
+        side preserves ordinals, so the query side must too (tantivy's
+        position-carrying PhraseQuery)."""
+        base = poss[0]
+        offsets = tuple(p - base for p in poss)
+        if offsets == tuple(range(len(toks))):
+            offsets = None  # consecutive: the common case, no payload
+        return Phrase(field, tuple(toks), offsets=offsets)
+
     def _text_query(self, fields: list[str], text: str) -> Query:
         clauses: list[Query] = []
         for f in fields:
-            toks = self._analyzer_for(f).tokens(text)
+            toks, poss = self._analyzer_for(f).tokens_positions(text)
             if not toks:
                 continue
             if len(toks) == 1:
                 clauses.append(Term(f, toks[0]))
             elif self.schema.field(f).has_positions:
-                clauses.append(Phrase(f, tuple(toks)))
+                clauses.append(self._make_phrase(f, toks, poss))
             else:
                 clauses.append(Bool(should=[Term(f, t) for t in toks]))
         if not clauses:
@@ -227,13 +239,13 @@ class QueryParser:
     def _phrase_query(self, fields: list[str], text: str) -> Query:
         clauses: list[Query] = []
         for f in fields:
-            toks = self._analyzer_for(f).tokens(text)
+            toks, poss = self._analyzer_for(f).tokens_positions(text)
             if not toks:
                 continue
             if len(toks) == 1:
                 clauses.append(Term(f, toks[0]))
             else:
-                clauses.append(Phrase(f, tuple(toks)))
+                clauses.append(self._make_phrase(f, toks, poss))
         if not clauses:
             return Bool()
         return clauses[0] if len(clauses) == 1 else Bool(should=clauses)

@@ -17,12 +17,17 @@ committed segments (ReloadPolicy::OnCommit, ``index.rs:219``).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import ray
 
 from rayfts.index.manifest import read_manifest
-from rayfts.query.searcher import Searcher
+from rayfts.query.parser import QueryParseError
+from rayfts.query.searcher import QueryError, Searcher
+
+logger = logging.getLogger(__name__)
 
 
 @ray.remote
@@ -158,9 +163,14 @@ class BatchSearchStage:
 
         q_out, r_out, d_out, s_out = [], [], [], []
         for q in batch[self.query_col].to_pylist():
+            # only EXPECTED per-query errors (bad query text) yield zero
+            # rows; anything else (index I/O, corrupt segment, bugs) must
+            # propagate so Ray retries/fails the task instead of writing
+            # silently-empty results to the sink (ADVICE r1)
             try:
                 hits = self.searcher.top_k(q, self.limit)
-            except Exception:
+            except (QueryParseError, QueryError) as e:
+                logger.warning("batch_search: query %r rejected: %s", q, e)
                 hits = []
             for rank, h in enumerate(hits, 1):
                 q_out.append(q)

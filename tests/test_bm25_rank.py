@@ -142,3 +142,49 @@ def test_tie_break_by_docid_ascending(index, tmp_path):
     assert len(set(scores)) == 1
     ids = [_id_of(h) for h in hits]
     assert ids == sorted(ids)
+
+
+def test_scores_beyond_40_tokens_use_quantized_fieldnorm(tmp_path):
+    """Docs longer than 40 tokens score with the QUANTIZED document length
+    from the tantivy 0.18 fieldnorm table (exact region ends at 40; above,
+    dl = table[encode(len)]). The oracle quantizes the same way; avgdl
+    stays exact (per-segment token totals are stored unquantized)."""
+    import numpy as np
+
+    from rayfts.codec.fieldnorm import FieldNormCodec
+
+    codec = FieldNormCodec(FieldNormCodec.TANTIVY_LIKE)
+    an = Analyzer("en_stem")
+    docs = [
+        {"id": "short", "body": "needle plus a few words"},
+        # 57 tokens incl needle -> quantized dl = 56 (id 48)
+        {"id": "mid", "body": "needle " + "pad " * 56},
+        # 150 tokens -> quantized dl = 144
+        {"id": "long", "body": "needle needle " + "pad " * 148},
+    ]
+    cat = IndexCatalog(str(tmp_path))
+    schema = IndexSchema([
+        FieldDef("body", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("id", "text", indexed=False, stored=True),
+    ])
+    idx = cat.create_index("q40", schema)
+    idx.add_documents(docs)
+
+    toks = [an.tokens(d["body"]) for d in docs]
+    lens = [len(t) for t in toks]
+    assert lens[1] > 40 and lens[2] > 40
+    n = len(docs)
+    avgdl = sum(lens) / n
+    df = sum(1 for t in toks if "needl" in t)
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    expected = {}
+    for i, t in enumerate(toks):
+        tf = t.count("needl")
+        dl = float(codec.decode(codec.encode(np.array([lens[i]])))[0])
+        expected[docs[i]["id"]] = idf * (K1 + 1) * tf / (
+            tf + K1 * (1 - B + B * dl / avgdl))
+    # sanity: quantization actually differs from the true length
+    assert codec.decode_one(int(codec.encode(np.array([lens[2]]))[0])) != lens[2]
+    for h in idx.query("needle", limit=10):
+        assert h["score"] == pytest.approx(expected[_id_of(h)], rel=1e-9)

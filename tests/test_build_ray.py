@@ -267,3 +267,27 @@ def test_giant_document(ray_session, tmp_path):
     # tf of tok0 in the giant doc is 40 (200k / 5000)
     gids, scores = s.matches({"term": {"text": "tok0"}})
     assert gids.size == 1
+
+
+def test_hash_mode_pins_num_segments(ray_session, tmp_path):
+    """ADVICE r1: hash-mode routing is hash(key) % num_segments, so the
+    count is pinned in build_params at creation; a resume without an
+    explicit value reuses it (cluster-size independent), a conflicting
+    explicit value raises instead of silently re-routing rows."""
+    path = str(tmp_path / "docs")
+    with pytest.raises(Exception):
+        build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                    content_col="text", key_cols=["doc_id"], num_segments=6,
+                    partition_mode="hash", _fail_segments=frozenset({1}))
+    assert mf.read_manifest(path).build_params == {
+        "partition_mode": "hash", "num_segments": 6}
+    # resume WITHOUT num_segments: pinned value is used, build completes
+    m2 = build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                     content_col="text", key_cols=["doc_id"],
+                     partition_mode="hash")
+    assert len(m2.segments) == 6 and m2.num_docs == 500
+    # conflicting explicit value on a pinned index -> hard error
+    with pytest.raises(ValueError, match="pinned"):
+        build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                    content_col="text", key_cols=["doc_id"], num_segments=12,
+                    partition_mode="hash")

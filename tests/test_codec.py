@@ -126,3 +126,41 @@ def test_fieldnorm_exact_codec_identity():
     c = FieldNormCodec(FieldNormCodec.EXACT)
     counts = np.array([0, 1, 40, 41, 99999])
     assert (c.decode(c.encode(counts)) == counts).all()
+
+
+def test_fieldnorm_tantivy_table_anchors():
+    """tantivy 0.18 FIELD_NORMS_TABLE (src/fieldnorm/code.rs): exact
+    0..=40, then a 3-bit-mantissa ladder (8 ids/octave, doubling step,
+    truncated at 256). Anchor values pin the reconstruction."""
+    c = FieldNormCodec(FieldNormCodec.TANTIVY_LIKE)
+    table = c.decode(np.arange(256))
+    anchors = {41: 42, 48: 56, 49: 60, 56: 88, 57: 96, 64: 152, 65: 168,
+               72: 280, 248: 1073741848, 255: 2013265944}
+    for i, v in anchors.items():
+        assert table[i] == v, (i, table[i], v)
+    # end-of-octave-k value is 2**(k+4) + 24
+    for k in range(1, 27):
+        assert table[40 + 8 * k] == 2 ** (k + 4) + 24
+    # relative step above 40 bounded by 12.5% (3-bit mantissa)
+    rel = np.diff(table[41:]) / table[41:-1]
+    assert rel.max() <= 0.125 + 1e-9
+
+
+def test_fieldnorm_encode_decode_properties():
+    """Property: decode is strictly monotone; encode(decode(id)) == id
+    (idempotence); encode picks the LARGEST id with decoded <= count."""
+    from hypothesis import given, settings, strategies as st
+
+    c = FieldNormCodec(FieldNormCodec.TANTIVY_LIKE)
+    table = c.decode(np.arange(256))
+    assert (c.encode(table) == np.arange(256)).all()  # idempotence
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def check(n):
+        i = int(c.encode(np.array([n]))[0])
+        assert table[i] <= n
+        if i < 255:
+            assert table[i + 1] > n
+
+    check()

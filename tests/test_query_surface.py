@@ -354,3 +354,29 @@ def test_bytes_field_roundtrip(tmp_path_factory):
     res = h.query_json({"query": {"term": {"body": "findme"}}, "limit": 10})
     assert res.hits == 1
     assert res.docs[0].doc["payload"] == [blob]
+
+
+def test_query_phrase_carries_position_gaps(tmp_path_factory):
+    """ADVICE r1: a query-time phrase containing a >=40-byte token must
+    keep the dropped token's position gap — '"alpha LONG beta"' matches
+    docs with alpha..beta at distance 2, NOT adjacent 'alpha beta'."""
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("qgap")))
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("id", "text", indexed=False),
+    ])
+    h = cat.create_index("g", schema)
+    long_tok = "x" * 45
+    h.add_documents([
+        {"id": "gap", "body": f"alpha {long_tok} beta"},
+        {"id": "adj", "body": "alpha beta"},
+    ])
+    s = h.searcher()
+    res = h.query_json({"query": {"raw": f'"alpha {long_tok} beta"'}, "limit": 10})
+    assert ids(res) == ["gap"]
+    res = h.query_json({"query": {"raw": '"alpha beta"'}, "limit": 10})
+    assert ids(res) == ["adj"]
+    # DSL phrases with explicit offsets behave the same
+    from rayfts.query.ast import Phrase
+    d, _sc = s.matches(Phrase("body", ("alpha", "beta"), offsets=(0, 2)))
+    assert d.tolist() == [0]
