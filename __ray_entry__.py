@@ -484,7 +484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from rayfts.ops.ann import cosine_near_dup_pairs
 
         ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
-        return cosine_near_dup_pairs(ds, threshold=0.9)
+        # synthetic embeddings are near-orthogonal (max pairwise cosine
+        # ~0.5), so a production-style 0.9 threshold finds nothing; 0.4
+        # exercises the full assignment/tile/threshold path with real rows
+        return cosine_near_dup_pairs(ds, threshold=0.4).sort(["id_a", "id_b"])
 
     q["embedding_near_dup"] = cosine_dup_q
 

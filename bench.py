@@ -181,7 +181,7 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     out["exact_dedup"] = time.time() - t0
 
     t0 = time.time()
-    minhash_dedup_pairs(ray.data.read_parquet(docs), threshold=0.5)
+    minhash_dedup_pairs(ray.data.read_parquet(docs), threshold=0.5).count()
     out["minhash_dedup"] = time.time() - t0
 
     if os.path.exists(emb):

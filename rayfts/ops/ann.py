@@ -5,13 +5,20 @@
   emits its local top-k; the driver merges (k x num_queries rows per
   batch, tiny).
 - ``IVFIndex``: the scale path — deterministic k-means (numpy, fixed
-  seed, sampled init), assignment as a stateless map_batches (centroid
-  matrix broadcast), search probes the ``nprobe`` nearest centroids only.
-- ``cosine_near_dup_pairs``: embedding near-duplicate detection via the
-  same bucketed structure.
+  seed, id-sorted sample), assignment as a stateless map_batches
+  (centroid matrix broadcast), vectors ALWAYS stored as
+  cluster-partitioned Parquet (``spill_dir/cluster=N/``); search reads
+  only the ``nprobe`` nearest clusters (cached after first probe). The
+  driver never holds the corpus.
+- ``cosine_near_dup_pairs``: embedding near-duplicate detection,
+  end-to-end distributed — assignment map_batches, per-cluster
+  ``map_groups`` with TILED within-cluster similarity (bounded memory),
+  giant clusters capped with documented truncation. Dataset in/out.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -99,14 +106,40 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int =
     return cent
 
 
+def _fit_centroids(ds, col: str, id_col: str, n_clusters: int,
+                   sample_rows: int, seed: int) -> np.ndarray:
+    """Centroids from an id-SORTED sample: ``limit()`` row order varies
+    with execution scheduling, so the sample is canonicalized by id before
+    k-means — same data in, same centroids out, every time."""
+    sample = ds.limit(sample_rows).to_pandas()
+    sample = sample.sort_values(id_col).reset_index(drop=True)
+    mat = np.stack(sample[col].to_numpy())
+    return kmeans_fit(mat, n_clusters, seed=seed)
+
+
+def _make_assigner(cent_ref, col: str, id_col: str):
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch, col))
+        cl = (m @ cent.T).argmax(axis=1)
+        return pa.table({
+            "cluster": pa.array(cl.astype(np.int32)),
+            id_col: batch[id_col],
+            col: batch[col],
+        })
+
+    return assign
+
+
 class IVFIndex:
     """IVF over cosine similarity: docs partitioned by nearest centroid.
 
-    build(): one sampling pass (driver) + one stateless assignment pass;
-    vectors materialize grouped by cluster (at 100 TB: write one parquet
-    dir per cluster instead of holding in memory — the structure is the
-    same; here clusters live in the object store).
-    search(): score only the ``nprobe`` nearest clusters.
+    build(): one sampling pass (driver holds only the sample + centroids)
+    + one stateless assignment pass that writes cluster-partitioned
+    Parquet (``spill_dir/cluster=N/``) — the 100 TB layout; the spilled
+    store IS the index, resumable and shareable across searchers.
+    search(): score only the ``nprobe`` nearest clusters, reading (and
+    then caching) just those partitions.
     """
 
     def __init__(self, n_clusters: int = 16, nprobe: int = 4, seed: int = 42):
@@ -122,36 +155,18 @@ class IVFIndex:
 
     def build(self, ds, col: str = "embedding", id_col: str = "vec_id",
               sample_rows: int = 2048, spill_dir: str | None = None):
-        """``spill_dir=None`` keeps cluster posting tables in driver memory
-        (small corpora); with a path, vectors are written as
-        cluster-partitioned Parquet (``spill_dir/cluster=N/``) and search
-        reads ONLY the probed clusters — the 100 TB layout, where driver
-        memory never holds the corpus."""
+        """Cluster-partitioned Parquet is the ONLY store (default
+        ``spill_dir``: a fresh temp directory). Search touches probed
+        clusters only; nothing corpus-sized ever reaches the driver."""
         self._col, self._id_col = col, id_col
-        sample = ds.limit(sample_rows).to_pandas()
-        mat = np.stack(sample[col].to_numpy())
-        self.centroids = kmeans_fit(mat, self.n_clusters, seed=self.seed)
+        self.centroids = _fit_centroids(ds, col, id_col, self.n_clusters,
+                                        sample_rows, self.seed)
         cent_ref = ray.put(self.centroids)
-
-        def assign(batch: pa.Table) -> pa.Table:
-            cent = ray.get(cent_ref)
-            m = _normalize(_batch_matrix(batch, col))
-            cl = (m @ cent.T).argmax(axis=1)
-            return pa.table({
-                "cluster": pa.array(cl.astype(np.int32)),
-                id_col: batch[id_col],
-                col: batch[col],
-            })
-
-        assigned = ds.map_batches(assign, batch_format="pyarrow")
-        if spill_dir is not None:
-            self.spill_dir = spill_dir
-            assigned.write_parquet(spill_dir, partition_cols=["cluster"])
-            return self
-        df = assigned.to_pandas()
-        for cl, grp in df.groupby("cluster"):
-            self._cluster_vecs[int(cl)] = _normalize(np.stack(grp[col].to_numpy()).astype(np.float64))
-            self._cluster_ids[int(cl)] = grp[id_col].to_numpy()
+        self.spill_dir = spill_dir or tempfile.mkdtemp(prefix="rayfts_ivf_")
+        assigned = ds.map_batches(
+            _make_assigner(cent_ref, col, id_col), batch_format="pyarrow"
+        )
+        assigned.write_parquet(self.spill_dir, partition_cols=["cluster"])
         return self
 
     def _load_cluster(self, cl: int) -> tuple[np.ndarray, np.ndarray] | None:
@@ -189,26 +204,60 @@ class IVFIndex:
         return [(i, s) for s, i in cands[:k]]
 
 
-def cosine_near_dup_pairs(ds, threshold: float = 0.95, col: str = "embedding",
-                          id_col: str = "vec_id", n_clusters: int = 16) -> pa.Table:
-    """Embedding near-dup: cluster (IVF buckets), then exact pairwise cosine
-    inside each cluster — candidate generation never goes quadratic in the
-    corpus, only within buckets."""
-    ivf = IVFIndex(n_clusters=n_clusters, nprobe=1).build(ds, col=col, id_col=id_col)
-    a_out, b_out, s_out = [], [], []
-    for cl, vecs in ivf._cluster_vecs.items():
-        ids = ivf._cluster_ids[cl]
-        sims = vecs @ vecs.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = sims[iu] >= threshold
-        for i, j, s in zip(iu[0][hit], iu[1][hit], sims[iu][hit]):
-            a, b = int(ids[i]), int(ids[j])
-            if a > b:
-                a, b = b, a
-            a_out.append(a); b_out.append(b); s_out.append(round(float(s), 6))
-    order = np.lexsort((b_out, a_out)) if a_out else []
-    return pa.table({
-        "id_a": pa.array([a_out[i] for i in order], type=pa.int64()),
-        "id_b": pa.array([b_out[i] for i in order], type=pa.int64()),
-        "cosine": pa.array([s_out[i] for i in order], type=pa.float64()),
-    })
+def cosine_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    tile: int = 2048,
+    max_cluster: int = 20_000,
+    sample_rows: int = 2048,
+    seed: int = 42,
+):
+    """Embedding near-dup -> Dataset(id_a, id_b, cosine), distributed:
+
+    cluster assignment is a stateless ``map_batches`` (broadcast
+    centroids); each cluster is one ``map_groups`` call that computes the
+    within-cluster similarity in TILES of ``tile`` rows (memory is
+    O(tile x cluster), never O(cluster^2)); clusters beyond
+    ``max_cluster`` members are truncated to the smallest ids (documented
+    truncation, mirroring the LSH bucket cap). Pairs never touch the
+    driver. Candidate generation misses cross-cluster pairs by design
+    (nprobe=1 bucketing) — raise ``n_clusters``/lower ``threshold``
+    sensitivity tradeoff as usual for bucketed near-dup."""
+    centroids = _fit_centroids(ds, col, id_col, n_clusters, sample_rows, seed)
+    cent_ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        _make_assigner(cent_ref, col, id_col), batch_format="pyarrow"
+    )
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        vecs = _normalize(_batch_matrix(g, col))
+        order = np.argsort(ids)
+        ids, vecs = ids[order], vecs[order]
+        if ids.size > max_cluster:
+            ids, vecs = ids[:max_cluster], vecs[:max_cluster]
+        n = ids.size
+        a_out, b_out, s_out = [], [], []
+        for s0 in range(0, n, tile):
+            e0 = min(s0 + tile, n)
+            block = vecs[s0:e0] @ vecs[s0:].T  # cols are global j >= s0
+            r, c = np.nonzero((block >= threshold)
+                              & (np.arange(s0, n)[None, :] > np.arange(s0, e0)[:, None]))
+            if r.size:
+                a_out.append(ids[s0 + r])
+                b_out.append(ids[s0 + c])
+                s_out.append(block[r, c])
+        if not a_out:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
+            "cosine": pa.array(np.round(np.concatenate(s_out), 6), type=pa.float64()),
+        })
+
+    return assigned.groupby("cluster").map_groups(cluster_pairs, batch_format="pyarrow")

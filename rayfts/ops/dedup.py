@@ -7,10 +7,13 @@
 - embedding near-dup lives in rayfts.ops.ann (cosine threshold)
 
 Shapes are designed for the 100 TB case: every per-doc computation is a
-stateless ``map_batches``; the only wide steps are groupbys on
-uniformly-distributed hash keys (content hash / band hash), so no skew;
-candidate verification touches only the candidate rows (semi-join via a
-broadcast id set, not a shuffle join).
+stateless ``map_batches``; the wide steps are groupbys on uniformly-
+distributed hash keys (content hash / band hash / pair hash), so no
+skew; near-dup verification is fully distributed — candidate pairs are
+deduped by hash-partitioned unique and their shingle sets attached by
+Ray hash joins, so neither pairs nor texts ever materialize on the
+driver; exact-dedup row recovery picks broadcast-semi-join vs
+partitioned-join by kept-set size.
 """
 
 from __future__ import annotations
@@ -71,15 +74,35 @@ def exact_dedup_ids(ds, col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    broadcast: bool | None = None,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+):
     """Keep the smallest-``id_col`` FULL row per distinct ``col`` value.
 
-    Kept-id resolution is the scalable :func:`exact_dedup_ids` aggregate;
-    row recovery is a broadcast semi-join on the kept-id set (``ray.put``
-    once, probed per batch). For corpora whose kept-id set exceeds driver
-    memory, consume :func:`exact_dedup_ids` directly (ids stream out as a
-    Dataset) and recover rows with a partitioned join instead."""
-    kept = exact_dedup_ids(ds, col, id_col)
+    Kept-id resolution is the scalable :func:`exact_dedup_ids` aggregate.
+    Row recovery picks between two plans:
+
+    - **broadcast semi-join** (kept set small): ``ray.put`` the sorted id
+      array once, probe per batch with ``searchsorted`` — zero shuffle of
+      the corpus;
+    - **partitioned hash join** (default above ``broadcast_limit`` kept
+      ids): ``ds.join(kept_ids)`` — the kept set never touches the
+      driver, at the cost of one corpus shuffle.
+
+    ``broadcast=None`` chooses by counting the (already tiny) kept-id
+    aggregate; pass True/False to force a plan."""
+    kept = exact_dedup_ids(ds, col, id_col).materialize()
+    if broadcast is None:
+        broadcast = kept.count() <= broadcast_limit
+    if not broadcast:
+        return ds.join(kept, "inner", _join_partitions(num_partitions),
+                       on=(id_col,), aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+
     ids = np.sort(
         np.concatenate([
             b[id_col].to_numpy(zero_copy_only=False)
@@ -287,6 +310,93 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+# Ray hash-join aggregator actors default to reserving 50% of cluster CPUs
+# PER JOIN; a pipeline with several joins would reserve everything and
+# deadlock the map tasks that feed it. Fractional reservations keep the
+# aggregators (I/O-light accumulators) cheap and the CPUs with the
+# compute stages.
+_JOIN_AGG_ARGS = {"num_cpus": 0.25}
+
+
+def _join_partitions(requested: int | None = None) -> int:
+    """Join partition count bounded by cluster CPUs: Ray spawns one
+    aggregator actor per partition (up to the configured max), and an
+    aggregator pool larger than the cluster cannot even start. On a big
+    cluster pass ``requested`` higher to bound per-partition memory."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if requested is None:
+        return max(2, cpus)
+    return max(2, min(requested, cpus))
+
+
+def dedup_pairs_partitioned(pairs_ds, num_parts: int = 64, sort_cols=("id_a", "id_b")):
+    """Globally drop duplicate (id_a, id_b) rows WITHOUT driver collection:
+    hash-partition on the pair key (uniform — the ids are arbitrary but the
+    golden-ratio mix decorrelates them), then a vectorized run-boundary
+    unique inside each partition. Ray-native replacement for the former
+    driver-side ``to_pandas().drop_duplicates()``."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * _GOLDEN) ^ (bb * _GOLDEN >> np.uint64(32))
+        return b.append_column("__pp", pa.array((h % np.uint64(num_parts)).astype(np.int32)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["__pp"])
+        order = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in sort_cols])
+        t = g.take(order)
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        bb = t["id_b"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+        return t.filter(pa.array(first)).drop_columns(["__pp"])
+
+    return (
+        pairs_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def _needed_ids_ds(pairs_ds, num_parts: int = 64):
+    """Distinct ids referenced by any pair side, as a Dataset (partition-
+    local unique -> tiny groupby-partition global unique)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False),
+        ])) if b.num_rows else np.empty(0, np.int64)
+        t = pa.table({"need_id": pa.array(ids, type=pa.int64())})
+        return t.append_column(
+            "__pp", pa.array((ids.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        ids = np.unique(g["need_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"need_id": pa.array(ids, type=pa.int64())})
+
+    return (
+        pairs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def _empty_pairs_dataset(value_col: str, value_type=pa.float64()):
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        value_col: pa.array([], type=value_type),
+    }))
+
+
 def minhash_dedup_pairs(
     ds,
     col: str = "text",
@@ -296,65 +406,104 @@ def minhash_dedup_pairs(
     k: int = 3,
     threshold: float = 0.7,
     concurrency: int = 4,
-) -> pa.Table:
-    """Full near-dup pipeline -> verified pa.Table(id_a, id_b, jaccard).
+    num_partitions: int | None = None,
+):
+    """Full near-dup pipeline -> Dataset(id_a, id_b, jaccard), end-to-end
+    distributed (no driver-side pair/text materialization):
 
-    shingle/minhash: actor-pool map_batches; banding: stateless explode;
-    bucket grouping: groupby on (band_id, band_hash) — uniform hash keys;
-    verification: semi-join of candidate ids via broadcast set (no shuffle
-    join), exact Jaccard on the pair texts.
+    1. shingle/minhash/banding: actor-pool ``map_batches`` (vectorized);
+    2. bucket pairing: ``groupby`` on a uniform band-hash partition key;
+    3. global pair dedup: hash-partitioned run-unique (Dataset in/out);
+    4. candidate shingle sets: pairs' distinct ids are joined (Ray hash
+       join — the one full pass over the corpus) against the docs, then
+       each candidate's shingle hashes are serialized once;
+    5. exact-Jaccard verification: two small hash joins attach the blob
+       of each side to the pair rows; a stateless ``map_batches``
+       intersects them and filters by threshold.
+
+    At 10^12 docs the corpus crosses the shuffle exactly once (step 4,
+    and only the id+text columns); every other wide edge carries
+    candidate pairs, which LSH keeps tiny relative to the corpus.
     """
+    num_partitions = _join_partitions(num_partitions)
     band_rows = ds.map_batches(
         MinHashBands,
         fn_constructor_kwargs={"col": col, "id_col": id_col,
                                "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow", concurrency=concurrency,
     )
-    import pandas as pd
 
     def tag_part(b: pa.Table) -> pa.Table:
         h = (b["band_hash"].to_numpy().astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)
+             * _GOLDEN
              + b["band_id"].to_numpy().astype(np.uint64))
         return b.append_column(
             "part", pa.array((h % np.uint64(64)).astype(np.int32)))
 
-    pairs_ds = (
+    raw_pairs = (
         band_rows.map_batches(tag_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(lambda g: candidate_pairs_partition(g, id_col), batch_format="pyarrow")
     )
-    pairs = pairs_ds.to_pandas()
-    if len(pairs) == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
-    # fetch candidate texts with a broadcast-id-set semi-join (sorted array
-    # + searchsorted probe — vectorized, no per-row membership test)
-    need = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
-                                     pairs["id_b"].to_numpy()]).astype(np.int64))
-    need_ref = ray.put(need)
+    # materialize the (small) deduped pair set: it feeds three downstream
+    # consumers (needed-ids + two joins) and must not recompute the LSH
+    pairs = dedup_pairs_partitioned(raw_pairs).materialize()
+    if pairs.count() == 0:
+        return _empty_pairs_dataset("jaccard")
 
-    def pick(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        vals = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(wanted, vals)
-        pos[pos >= wanted.size] = 0
-        mask = wanted[pos] == vals if wanted.size else np.zeros(vals.size, bool)
-        return batch.filter(pa.array(mask)).select([id_col, col])
+    def shingle_blobs(b: pa.Table) -> pa.Table:
+        texts = b[col].to_pylist()
+        blobs = [shingle_hashes("" if t is None else t, k).tobytes() for t in texts]
+        return pa.table({
+            id_col: b[id_col],
+            "__sh": pa.array(blobs, type=pa.large_binary()),
+        })
 
-    texts = {r[id_col]: r[col] for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
-    jac = np.array(
-        [exact_jaccard(texts[a] or "", texts[b] or "", k) for a, b in zip(pairs["id_a"], pairs["id_b"])]
+    cand = ds.select_columns([id_col, col]).join(
+        _needed_ids_ds(pairs), "inner", num_partitions,
+        on=(id_col,), right_on=("need_id",),
+        aggregator_ray_remote_args=_JOIN_AGG_ARGS,
     )
-    keep = jac >= threshold
-    out = pairs[keep]
-    return pa.table({
-        "id_a": pa.array(out["id_a"].tolist(), type=pa.int64()),
-        "id_b": pa.array(out["id_b"].tolist(), type=pa.int64()),
-        "jaccard": pa.array(jac[keep].round(6).tolist(), type=pa.float64()),
-    })
+    # materialized (object store, not driver): referenced by BOTH pair-side
+    # joins — lazy it would re-run the corpus join twice
+    cand_sh = cand.map_batches(shingle_blobs, batch_format="pyarrow").materialize()
+
+    j = pairs.join(cand_sh, "inner", num_partitions,
+                   on=("id_a",), right_on=(id_col,),
+                   aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+    j = j.map_batches(
+        lambda b: b.rename_columns(
+            ["__sh_a" if c == "__sh" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j = j.join(cand_sh, "inner", num_partitions,
+               on=("id_b",), right_on=(id_col,),
+               aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_ids = b["id_a"].to_numpy(zero_copy_only=False)
+        b_ids = b["id_b"].to_numpy(zero_copy_only=False)
+        sh_a = b["__sh_a"].to_pylist()
+        sh_b = b["__sh"].to_pylist()
+        jac = np.empty(len(sh_a), dtype=np.float64)
+        for i, (ba, bb) in enumerate(zip(sh_a, sh_b)):
+            sa = np.frombuffer(ba or b"", dtype=np.uint64)
+            sb = np.frombuffer(bb or b"", dtype=np.uint64)
+            if sa.size == 0 and sb.size == 0:
+                jac[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table({
+            "id_a": pa.array(a_ids[keep], type=pa.int64()),
+            "id_b": pa.array(b_ids[keep], type=pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # -- simhash ---------------------------------------------------------------
@@ -470,11 +619,11 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(np.concatenate(b_out), type=pa.int64()),
                          "hamming": pa.array(np.concatenate(d_out), type=pa.int64())})
 
-    pairs = (
+    raw_pairs = (
         hashed.map_batches(bands, batch_format="pyarrow")
         .groupby("part")
         .map_groups(bucket_pairs_partition, batch_format="pyarrow")
-        .to_pandas()
     )
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+    # Dataset in, Dataset out: dedup the cross-band duplicates with the
+    # hash-partitioned unique (no driver collection); callers sort/take
+    return dedup_pairs_partitioned(raw_pairs)

@@ -54,11 +54,12 @@ def test_minhash_finds_planted_near_dup(ray_session):
         "doc_id": pa.array([1, 2, 3], type=pa.int64()),
         "text": pa.array([a, b, c]),
     }))
-    pairs = minhash_dedup_pairs(ds, threshold=0.5, bands=16, num_perm=64)
-    got = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+    pairs_ds = minhash_dedup_pairs(ds, threshold=0.5, bands=16, num_perm=64)
+    rows = pairs_ds.take_all()  # Dataset out: no driver step inside the op
+    got = {(r["id_a"], r["id_b"]) for r in rows}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
-    jac = [r["jaccard"] for r in pairs.to_pylist() if (r["id_a"], r["id_b"]) == (1, 2)][0]
+    jac = [r["jaccard"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2)][0]
     assert 0.5 <= jac <= 1.0
 
 
@@ -87,7 +88,7 @@ def test_simhash_band_guarantee(ray_session):
         "text": pa.array([a, b, "entirely different content here entirely"]),
     }))
     pairs = simhash_near_dup_pairs(ds, max_hamming=10)
-    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.to_pylist()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.take_all()}
     assert (10, 20) in got and got[(10, 20)] <= 10
 
 
@@ -171,21 +172,64 @@ def test_fingerprints_shift_invariant():
     assert set(f1).issubset(set(f2) | set(f1[:1])) or np.intersect1d(f1, f2).size >= 14
 
 
-def test_ivf_spill_dir_matches_in_memory(ray_session, tmp_path):
+def test_ivf_spill_layout_and_determinism(ray_session, tmp_path):
+    """IVF always stores cluster-partitioned Parquet (the 100 TB layout);
+    two builds of the same data give identical results regardless of Ray
+    block scheduling (id-sorted sample -> deterministic centroids)."""
     from rayfts.ops.ann import IVFIndex
 
     import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{SF}/embeddings.parquet")
     q = np.asarray(emb["embedding"][11].as_py())
-    mem = IVFIndex(n_clusters=8, nprobe=3).build(
+    a = IVFIndex(n_clusters=8, nprobe=3).build(
         ray.data.read_parquet(f"{SF}/embeddings.parquet"))
-    spill = IVFIndex(n_clusters=8, nprobe=3).build(
+    b = IVFIndex(n_clusters=8, nprobe=3).build(
         ray.data.read_parquet(f"{SF}/embeddings.parquet"),
         spill_dir=str(tmp_path / "ivf"))
-    assert mem.search(q, k=10) == spill.search(q, k=10)
+    assert a.search(q, k=10) == b.search(q, k=10)
     import glob
     assert glob.glob(str(tmp_path / "ivf" / "cluster=*"))  # partitioned layout
+    assert glob.glob(f"{a.spill_dir}/cluster=*")  # default build spills too
+
+
+def test_ivf_full_probe_recall_matches_brute_force(ray_session):
+    """recall@10 with nprobe == n_clusters must be 1.0 (every cluster
+    probed -> exhaustive), pinning IVF's correctness against the brute
+    oracle; partial probes trade recall for reads."""
+    import pyarrow.parquet as pq
+
+    from rayfts.ops.ann import IVFIndex, brute_force_topk
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    for qi in (3, 17):
+        q = np.asarray(emb["embedding"][qi].as_py())
+        truth = brute_force_topk(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"), q, k=10)
+        ivf = IVFIndex(n_clusters=8, nprobe=8).build(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"))
+        got = ivf.search(q, k=10)
+        assert [vid for vid, _ in got] == truth["vec_id"].to_pylist()
+
+
+def test_cosine_near_dup_finds_planted_pairs(ray_session):
+    """Distributed embedding near-dup (Dataset out): planted near-identical
+    vectors are found; unrelated vectors are not paired."""
+    from rayfts.ops.ann import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    base[21] = base[20] + rng.normal(scale=0.01, size=16)  # planted dup
+    base[31] = base[30] * 1.7                              # colinear dup
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base]),
+    })
+    pairs = cosine_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.98, n_clusters=4)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.take_all()}
+    assert (20, 21) in got and got[(20, 21)] > 0.98
+    assert (30, 31) in got and got[(30, 31)] > 0.999
 
 
 def test_term_postings_export_matches_duckdb(ray_session, tmp_path):
