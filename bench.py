@@ -218,6 +218,18 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     for q, t in qtimes.items():
         queries[f"q:{q}"] = round(t, 5)
 
+    # serve from a compacted index: a 64-tiny-segment build taxes every
+    # query with per-segment overhead; LogMergePolicy-like compaction is
+    # what a real deployment runs before serving
+    from rayfts.index.merge import log_merge_index
+
+    t0 = time.time()
+    # one tier pass (64 -> ~4): full compaction to one segment costs more
+    # than it returns and starves the serve pool's per-segment parallelism
+    merged_manifest = log_merge_index(idx, min_merge=4, max_merge=16, max_passes=1)
+    queries["merge_for_serving"] = round(time.time() - t0, 3)
+    queries["segments_after_merge"] = len(merged_manifest.segments)
+
     queries["serve_pool_topk6"] = round(bench_serve_pool(idx), 4)
 
     qps = bench_batch_qps(idx)

@@ -217,16 +217,31 @@ def decode_blocks(
     counts[-1] = n - BLOCK_SIZE * (nblocks - 1)
     d_offs = np.append(skips["docid_off"].astype(np.int64), int(docid_bytes))
     f_offs = np.append(skips["tf_off"].astype(np.int64), int(tf_bytes))
-    out_docs, out_tfs = [], []
-    for b in block_idx:
-        b = int(b)
-        cnt = int(counts[b])
-        deltas = decode_varints(raw[d0 + d_offs[b] : d0 + d_offs[b + 1]], count=cnt)
-        base = int(skips["last_docid"][b - 1]) if b > 0 else 0
-        docs = np.cumsum(deltas, dtype=np.uint64) + base
-        tfm1 = decode_varints(raw[f0 + f_offs[b] : f0 + f_offs[b + 1]], count=cnt)
-        out_docs.append(docs.astype(np.uint32))
-        out_tfs.append((tfm1 + 1).astype(np.uint32))
-    if not out_docs:
+    sel = np.asarray(block_idx, dtype=np.int64)
+    if sel.size == 0:
         return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.uint32)
-    return np.concatenate(out_docs), np.concatenate(out_tfs)
+    # ONE gather + ONE varint decode for all selected blocks (a per-block
+    # Python loop here dominated serving profiles: hot terms decode ~100
+    # blocks per query), then a segmented cumsum rebases each block to its
+    # predecessor's last_docid
+    cnts = counts[sel]
+    total = int(cnts.sum())
+    raw_np = np.asarray(raw)
+
+    def gather(lo, hi):
+        lens = hi - lo
+        out_offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        take = np.repeat(lo, lens) + (
+            np.arange(int(lens.sum())) - np.repeat(out_offs, lens)
+        )
+        return raw_np[take]
+
+    deltas = decode_varints(gather(d0 + d_offs[sel], d0 + d_offs[sel + 1]), count=total)
+    tfm1 = decode_varints(gather(f0 + f_offs[sel], f0 + f_offs[sel + 1]), count=total)
+    ends = np.cumsum(cnts)
+    starts = ends - cnts
+    c = np.cumsum(deltas.astype(np.int64))
+    bases = np.where(sel > 0, skips["last_docid"][np.maximum(sel - 1, 0)].astype(np.int64), 0)
+    seg_base = bases - (c[starts] - deltas[starts].astype(np.int64))
+    docs = (c + np.repeat(seg_base, cnts)).astype(np.uint32)
+    return docs, (tfm1 + 1).astype(np.uint32)

@@ -238,6 +238,13 @@ class MergerActor:
     """Actor-pool merger: one actor merges many groups sequentially,
     amortizing process start; big streaming state stays actor-local."""
 
+    def __init__(self):
+        # N merge actors x Arrow's default all-cores thread pool would
+        # oversubscribe the node; the merge itself is single-threaded numpy
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(2)
+            pa.set_io_thread_count(2)
+
     def merge(self, index_dir: str, schema_json: list, source_ids: list[str]) -> dict:
         return merge_segment_group(index_dir, schema_json, source_ids).to_json()
 
@@ -283,3 +290,89 @@ def merge_index(
         for sid in merged_source_ids:
             shutil.rmtree(mf.segment_path(index_dir, sid), ignore_errors=True)
     return new_manifest
+
+
+# ---------------------------------------------------------------------------
+# LogMergePolicy-like auto-merge
+# ---------------------------------------------------------------------------
+
+
+def plan_log_merge_groups(
+    ordered_segments, min_merge: int = 8, max_merge: int = 16,
+    min_layer_docs: int = 10_000,
+) -> list[list[str]]:
+    """Tiered merge planning in the spirit of tantivy's LogMergePolicy
+    (the reference's intended merge control, ``main.rs:7-17`` design
+    notes): segments fall into levels by log2(num_docs) — with everything
+    below ``min_layer_docs`` sharing one floor level (tantivy's
+    min_layer_size: slightly-unequal small segments must not fragment
+    into unmergeable runs) — and a CONTIGUOUS run of >= ``min_merge``
+    same-level segments becomes merge groups of up to ``max_merge``.
+    Contiguity in the ordered list is required because global docids are
+    manifest-ordered — merging a non-contiguous set would renumber
+    documents."""
+    import math
+
+    floor_lvl = int(math.log2(max(min_layer_docs, 2)))
+    runs: list[list[str]] = []
+    run: list[str] = []
+    run_level = None
+    for s in ordered_segments:
+        lvl = max(int(math.log2(max(s.num_docs, 1))), floor_lvl)
+        if run_level is not None and lvl == run_level:
+            run.append(s.segment_id)
+        else:
+            if run:
+                runs.append(run)
+            run, run_level = [s.segment_id], lvl
+    if run:
+        runs.append(run)
+    groups = []
+    for r in runs:
+        if len(r) < min_merge:
+            continue
+        for i in range(0, len(r), max_merge):
+            g = r[i : i + max_merge]
+            if len(g) >= 2:
+                groups.append(g)
+    return groups
+
+
+def log_merge_index(
+    index_dir: str,
+    min_merge: int = 8,
+    max_merge: int = 16,
+    num_actors: int = 4,
+    max_passes: int = 8,
+) -> mf.Manifest:
+    """Compact an index until no level has ``min_merge`` mergeable
+    segments (each pass promotes merged segments one level up, so this
+    converges like a log-structured merge). Query results are invariant
+    across passes (merge preserves global docid order and all stats)."""
+    manifest = mf.read_manifest(index_dir)
+    for _ in range(max_passes):
+        groups = plan_log_merge_groups(
+            manifest.ordered_segments(), min_merge, max_merge
+        )
+        if not groups:
+            break
+        schema_json = manifest.schema.to_json()
+        actors = [MergerActor.remote() for _ in range(min(num_actors, len(groups)))]
+        futs = [
+            actors[gi % len(actors)].merge.remote(index_dir, schema_json, g)
+            for gi, g in enumerate(groups)
+        ]
+        merged_infos = [SegmentInfo.from_json(d) for d in ray.get(futs)]
+        for a in actors:
+            ray.kill(a)
+        merged_ids = {sid for g in groups for sid in g}
+        keep = [s for s in manifest.segments if s.segment_id not in merged_ids]
+        manifest = mf.Manifest(
+            name=manifest.name, schema=manifest.schema,
+            segments=keep + merged_infos, opstamp=manifest.opstamp,
+            version=manifest.version + 1, build_params=manifest.build_params,
+        )
+        mf.write_manifest(index_dir, manifest)
+        for sid in merged_ids:
+            shutil.rmtree(mf.segment_path(index_dir, sid), ignore_errors=True)
+    return manifest

@@ -28,7 +28,10 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field as dc_field
+
+_MISSING = object()
 
 import numpy as np
 import pandas as pd
@@ -391,6 +394,15 @@ class SegmentReader:
         self._store: pa.Table | None = None
         self._terms_table: pa.Table | None = None
         self._facets: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._decoded_norms: dict[str, np.ndarray] = {}
+        # serving caches: decoded hot posting lists (LRU by posting count —
+        # repeated terms across a query stream decode once per segment) and
+        # term->ordinal lookups (binary search over an object array is a
+        # measurable per-query cost; None misses are cached too)
+        self._postings_cache: "OrderedDict[tuple[str, int], PostingList]" = OrderedDict()
+        self._postings_cached_docs = 0
+        self.postings_cache_max_docs = 8_000_000  # ~64 MiB of uint32 pairs
+        self._ordinal_cache: dict[tuple[str, str], int | None] = {}
 
     # -- lazy loads ----------------------------------------------------
     def _terms(self, field: str) -> dict:
@@ -441,12 +453,17 @@ class SegmentReader:
         return self.info.num_docs
 
     def term_ordinal(self, field: str, term: str) -> int | None:
+        key = (field, term)
+        cached = self._ordinal_cache.get(key, _MISSING)
+        if cached is not _MISSING:
+            return cached
         e = self._terms(field)
         arr = e["terms"]
         i = int(np.searchsorted(arr, term))
-        if i < arr.size and arr[i] == term:
-            return i
-        return None
+        out = i if i < arr.size and arr[i] == term else None
+        if len(self._ordinal_cache) < 1_000_000:
+            self._ordinal_cache[key] = out
+        return out
 
     def doc_freq(self, field: str, term: str) -> int:
         i = self.term_ordinal(field, term)
@@ -459,9 +476,21 @@ class SegmentReader:
         return self.postings_by_ordinal(field, i)
 
     def postings_by_ordinal(self, field: str, ordinal: int) -> PostingList:
+        key = (field, ordinal)
+        cache = self._postings_cache
+        pl = cache.get(key)
+        if pl is not None:
+            cache.move_to_end(key)
+            return pl
         e = self._terms(field)
         off, ln = int(e["post_off"][ordinal]), int(e["post_len"][ordinal])
-        return decode_postings(self._postings_buf()[off : off + ln])
+        pl = decode_postings(self._postings_buf()[off : off + ln])
+        cache[key] = pl
+        self._postings_cached_docs += pl.doc_freq
+        while self._postings_cached_docs > self.postings_cache_max_docs and cache:
+            _, old = cache.popitem(last=False)
+            self._postings_cached_docs -= old.doc_freq
+        return pl
 
     def all_postings(self, field: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Bulk-decode EVERY posting list of a field in three vectorized
@@ -546,6 +575,14 @@ class SegmentReader:
             with np.load(os.path.join(self.path, NORMS_FILE)) as z:
                 self._norms = {k: z[k] for k in z.files}
         return self._norms[field]
+
+    def decoded_norms(self, field: str) -> np.ndarray:
+        """Fieldnorm ids decoded to document lengths, cached — the table
+        gather is O(num_docs) and sits on every query's scoring path."""
+        cached = self._decoded_norms.get(field)
+        if cached is None:
+            cached = self._decoded_norms[field] = self.codec.decode(self.norms(field))
+        return cached
 
     def store(self) -> pa.Table:
         if self._store is None:

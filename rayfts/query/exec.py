@@ -58,7 +58,7 @@ _EMPTY: Matches = (np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float64))
 
 
 def _decoded_dls(seg: SegmentReader, field: str) -> np.ndarray:
-    return seg.codec.decode(seg.norms(field))
+    return seg.decoded_norms(field)
 
 
 def execute(q: Query, seg: SegmentReader, stats: GlobalStats) -> Matches:
@@ -335,7 +335,8 @@ def top_k_single_term(
     acc_docs = np.empty(0, dtype=np.uint32)
     acc_scores = np.empty(0, dtype=np.float64)
     threshold = -np.inf
-    CHUNK = 8
+    CHUNK = 32  # blocks per decode round: larger = fewer vectorized calls,
+    # at worst CHUNK-1 unneeded block decodes after the cutoff
     for i in range(0, order.size, CHUNK):
         blocks = order[i : i + CHUNK]
         # strict <: an equal-bound block can still hold an equal-score doc

@@ -101,6 +101,7 @@ class Searcher:
             self.avgdl[f.name] = (total / self.n_docs) if self.n_docs else 1.0
         self.parser = QueryParser(self.schema, compat_break=compat_default_fields)
         self._analyzers: dict[str, Analyzer] = {}
+        self._df_cache: dict[tuple[str, str], int] = {}
         # instrumentation: number of per-segment query evaluations (the
         # multi-collector contract is ONE execute per segment per search,
         # mirroring the reference's single searcher.search pass with a
@@ -113,9 +114,18 @@ class Searcher:
 
     # -- stats ---------------------------------------------------------
     def global_df(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """Summed doc freq per (field, term). Memoized for the searcher's
+        lifetime (segments are immutable): serving workloads repeat terms
+        constantly, and the per-segment term-dict binary searches dominate
+        small-query overhead otherwise."""
         out: dict[tuple[str, str], int] = {}
+        cache = self._df_cache
         for field, term in set(pairs):
-            out[(field, term)] = sum(r.doc_freq(field, term) for r in self.readers)
+            key = (field, term)
+            v = cache.get(key)
+            if v is None:
+                v = cache[key] = sum(r.doc_freq(field, term) for r in self.readers)
+            out[key] = v
         return out
 
     def stats_for(self, q: Query) -> GlobalStats:

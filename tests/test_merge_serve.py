@@ -123,3 +123,32 @@ def test_batch_search_dataset(built, ray_session):
         want = [(i + 1, h.doc_id, round(h.score, 9))
                 for i, h in enumerate(s.top_k(q, 5))]
         assert mine == want, q
+
+
+def test_log_merge_invariance_and_compaction(ray_session, tmp_path):
+    """log_merge_index (LogMergePolicy-like tiers) compacts same-level
+    contiguous runs; query results — scores AND global docids — are
+    identical before and after, and a second invocation is a no-op."""
+    from rayfts.index.build import build_index
+    from rayfts.index.merge import log_merge_index
+    from rayfts.index.schema import FieldDef, IndexSchema
+    from rayfts.query.searcher import Searcher
+
+    path = str(tmp_path / "lm")
+    schema = IndexSchema([
+        FieldDef("text", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+    ])
+    build_index(f"{SF}/documents.parquet", path, schema, content_col="text",
+                key_cols=["doc_id"], num_segments=12, partition_mode="hash")
+    before = Searcher(path)
+    probes = ["merge", "filter batch", '"the the"', "+the -batch"]
+    want = {q: [(h.score, h.doc_id) for h in before.top_k(q, 10)] for q in probes}
+    m = log_merge_index(path, min_merge=4, max_merge=8)
+    assert len(m.segments) < 12
+    after = Searcher(path)
+    for q in probes:
+        assert [(h.score, h.doc_id) for h in after.top_k(q, 10)] == want[q]
+    m2 = log_merge_index(path, min_merge=4, max_merge=8)
+    assert [s.segment_id for s in m2.segments] == [s.segment_id for s in m.segments]
