@@ -397,6 +397,16 @@ def _empty_pairs_dataset(value_col: str, value_type=pa.float64()):
     }))
 
 
+def _jaccard_from_blobs(ba: bytes | None, bb: bytes | None) -> float:
+    sa = np.frombuffer(ba or b"", dtype=np.uint64)
+    sb = np.frombuffer(bb or b"", dtype=np.uint64)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
 def minhash_dedup_pairs(
     ds,
     col: str = "text",
@@ -405,27 +415,37 @@ def minhash_dedup_pairs(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.7,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     num_partitions: int | None = None,
+    broadcast: bool | None = None,
+    broadcast_limit: int = 1_000_000,
 ):
-    """Full near-dup pipeline -> Dataset(id_a, id_b, jaccard), end-to-end
-    distributed (no driver-side pair/text materialization):
+    """Full near-dup pipeline -> Dataset(id_a, id_b, jaccard):
 
     1. shingle/minhash/banding: actor-pool ``map_batches`` (vectorized);
     2. bucket pairing: ``groupby`` on a uniform band-hash partition key;
     3. global pair dedup: hash-partitioned run-unique (Dataset in/out);
-    4. candidate shingle sets: pairs' distinct ids are joined (Ray hash
-       join — the one full pass over the corpus) against the docs, then
-       each candidate's shingle hashes are serialized once;
-    5. exact-Jaccard verification: two small hash joins attach the blob
-       of each side to the pair rows; a stateless ``map_batches``
-       intersects them and filters by threshold.
+    4-5. exact-Jaccard verification on the candidates, by one of two
+       auto-selected plans (``broadcast=None`` picks by pair count):
 
-    At 10^12 docs the corpus crosses the shuffle exactly once (step 4,
-    and only the id+text columns); every other wide edge carries
-    candidate pairs, which LSH keeps tiny relative to the corpus.
+       - **broadcast** (pair count <= ``broadcast_limit``, the common
+         case — LSH keeps candidates tiny): the needed-id array is
+         ``ray.put`` once; one stateless corpus pass computes candidate
+         shingle blobs; verification maps over the pair Dataset with the
+         broadcast blob map. No shuffle, no join actors.
+       - **partitioned joins** (huge candidate sets): candidate ids are
+         deduped distributively and hash-joined against the corpus, then
+         two pair-side joins attach each side's blob; nothing touches
+         the driver. The corpus crosses the shuffle once (id+text
+         columns only).
     """
-    num_partitions = _join_partitions(num_partitions)
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n = max(2, cpus // 2)
+        concurrency = (n, n)  # eager fixed pool (autoscaling ramp is slow)
     band_rows = ds.map_batches(
         MinHashBands,
         fn_constructor_kwargs={"col": col, "id_col": id_col,
@@ -445,11 +465,14 @@ def minhash_dedup_pairs(
         .groupby("part")
         .map_groups(lambda g: candidate_pairs_partition(g, id_col), batch_format="pyarrow")
     )
-    # materialize the (small) deduped pair set: it feeds three downstream
-    # consumers (needed-ids + two joins) and must not recompute the LSH
+    # materialize the (small) deduped pair set: it feeds several downstream
+    # consumers and must not recompute the LSH
     pairs = dedup_pairs_partitioned(raw_pairs).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _empty_pairs_dataset("jaccard")
+    if broadcast is None:
+        broadcast = n_pairs <= broadcast_limit
 
     def shingle_blobs(b: pa.Table) -> pa.Table:
         texts = b[col].to_pylist()
@@ -459,6 +482,50 @@ def minhash_dedup_pairs(
             "__sh": pa.array(blobs, type=pa.large_binary()),
         })
 
+    if broadcast:
+        need = np.unique(np.concatenate([
+            np.concatenate([
+                b["id_a"].to_numpy(zero_copy_only=False),
+                b["id_b"].to_numpy(zero_copy_only=False),
+            ])
+            for b in pairs.iter_batches(batch_format="pyarrow")
+        ]))
+        need_ref = ray.put(need)
+
+        def pick_blobs(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(need_ref)
+            vals = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(wanted, vals)
+            pos[pos >= wanted.size] = 0
+            mask = wanted[pos] == vals if wanted.size else np.zeros(vals.size, bool)
+            return shingle_blobs(batch.filter(pa.array(mask)))
+
+        cand_sh = ds.select_columns([id_col, col]).map_batches(
+            pick_blobs, batch_format="pyarrow"
+        )
+        blob_map: dict[int, bytes] = {}
+        for b in cand_sh.iter_batches(batch_format="pyarrow"):
+            blob_map.update(zip(b[id_col].to_pylist(), b["__sh"].to_pylist()))
+        blobs_ref = ray.put(blob_map)
+
+        def verify_bc(b: pa.Table) -> pa.Table:
+            blobs = ray.get(blobs_ref)
+            a_ids = b["id_a"].to_pylist()
+            b_ids = b["id_b"].to_pylist()
+            jac = np.array([
+                _jaccard_from_blobs(blobs.get(a), blobs.get(bb))
+                for a, bb in zip(a_ids, b_ids)
+            ])
+            keep = jac >= threshold
+            return pa.table({
+                "id_a": pa.array(np.asarray(a_ids, dtype=np.int64)[keep]),
+                "id_b": pa.array(np.asarray(b_ids, dtype=np.int64)[keep]),
+                "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+            })
+
+        return pairs.map_batches(verify_bc, batch_format="pyarrow")
+
+    num_partitions = _join_partitions(num_partitions)
     cand = ds.select_columns([id_col, col]).join(
         _needed_ids_ds(pairs), "inner", num_partitions,
         on=(id_col,), right_on=("need_id",),
@@ -484,18 +551,10 @@ def minhash_dedup_pairs(
     def verify(b: pa.Table) -> pa.Table:
         a_ids = b["id_a"].to_numpy(zero_copy_only=False)
         b_ids = b["id_b"].to_numpy(zero_copy_only=False)
-        sh_a = b["__sh_a"].to_pylist()
-        sh_b = b["__sh"].to_pylist()
-        jac = np.empty(len(sh_a), dtype=np.float64)
-        for i, (ba, bb) in enumerate(zip(sh_a, sh_b)):
-            sa = np.frombuffer(ba or b"", dtype=np.uint64)
-            sb = np.frombuffer(bb or b"", dtype=np.uint64)
-            if sa.size == 0 and sb.size == 0:
-                jac[i] = 1.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            jac[i] = inter / union if union else 0.0
+        jac = np.array([
+            _jaccard_from_blobs(ba, bb)
+            for ba, bb in zip(b["__sh_a"].to_pylist(), b["__sh"].to_pylist())
+        ])
         keep = jac >= threshold
         return pa.table({
             "id_a": pa.array(a_ids[keep], type=pa.int64()),

@@ -54,13 +54,15 @@ def test_minhash_finds_planted_near_dup(ray_session):
         "doc_id": pa.array([1, 2, 3], type=pa.int64()),
         "text": pa.array([a, b, c]),
     }))
-    pairs_ds = minhash_dedup_pairs(ds, threshold=0.5, bands=16, num_perm=64)
-    rows = pairs_ds.take_all()  # Dataset out: no driver step inside the op
-    got = {(r["id_a"], r["id_b"]) for r in rows}
-    assert (1, 2) in got
-    assert all(3 not in p for p in got)
-    jac = [r["jaccard"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2)][0]
-    assert 0.5 <= jac <= 1.0
+    for bc in (None, False):  # auto-broadcast AND the partitioned-join plan
+        pairs_ds = minhash_dedup_pairs(ds, threshold=0.5, bands=16, num_perm=64,
+                                       broadcast=bc)
+        rows = pairs_ds.take_all()  # Dataset out: no driver step inside the op
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+        jac = [r["jaccard"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2)][0]
+        assert 0.5 <= jac <= 1.0
 
 
 def test_minhash_signature_approximates_jaccard():
