@@ -469,14 +469,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_q(sf):
         from rayfts.ops.dedup import minhash_dedup_pairs
 
-        return minhash_dedup_pairs(_docs_ds(sf), threshold=0.5)
+        return minhash_dedup_pairs(_docs_ds(sf), threshold=0.5).sort(["id_a", "id_b"])
 
     q["minhash_dedup_pairs"] = minhash_q
 
     def simhash_q(sf):
         from rayfts.ops.dedup import simhash_near_dup_pairs
 
-        return simhash_near_dup_pairs(_docs_ds(sf), max_hamming=3)
+        return simhash_near_dup_pairs(_docs_ds(sf), max_hamming=3).sort(["id_a", "id_b"])
 
     q["simhash_near_dup"] = simhash_q
 
@@ -565,6 +565,167 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["video_frame_sample"] = video_frames_q
 
     return q
+
+
+
+
+def _mulmod64_sql(a_expr: str, p: int) -> str:
+    """(a * p) mod 2^64 in DuckDB without 128-bit overflow: split-multiply
+    in 32-bit halves inside HUGEINT (a*p can reach 2^128, beyond HUGEINT)."""
+    ph, pl = p >> 32, p & 0xFFFFFFFF
+    return (f"((CAST({a_expr} % 4294967296 AS HUGEINT) * {pl} "
+            f"+ ((CAST({a_expr} % 4294967296 AS HUGEINT) * {ph} "
+            f"+ CAST({a_expr} // 4294967296 AS HUGEINT) * {pl}) % 4294967296) * 4294967296"
+            f") % 18446744073709551616)")
+
+
+def _fingerprint_sql() -> str:
+    """Winnowing fingerprint oracle: md5-based 64-bit token hashes, k=5
+    rolling polynomial hash mod 2^64 (split-multiply, see above), min per
+    doc, wrapped to the engine's signed int64 output."""
+    from rayfts.ops.textstats import _FP_BASE
+
+    B, M = int(_FP_BASE), 1 << 64
+    pows = [pow(B, e, M) for e in (4, 3, 2, 1, 0)]
+    terms = " + ".join(_mulmod64_sql(f"hs[i+{j}]", p) for j, p in enumerate(pows))
+    roll = f"(({terms}) % 18446744073709551616)"
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT
+     for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS hs
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) < 5 THEN CAST(0 AS HUGEINT)
+         ELSE list_min([{roll} for i in generate_series(1, len(hs) - 4)])
+    END AS fp
+  FROM t
+)
+SELECT doc_id,
+  CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fingerprint
+FROM fps ORDER BY doc_id
+"""
+
+
+_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lower(x) AS tok
+  FROM documents, unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS u(x)
+  WHERE strlen(x) > 0
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, c FROM tc),
+bits AS (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN c ELSE -c END) AS v
+  FROM th, generate_series(0, 63) AS g(b)
+  GROUP BY doc_id, g.b
+),
+halves AS (
+  SELECT doc_id,
+    sum(CASE WHEN v > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+    sum(CASE WHEN v > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+    COALESCE((CAST(h.hi AS HUGEINT) * 4294967296 + h.lo), 0) AS s
+  FROM documents d LEFT JOIN halves h ON h.doc_id = d.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT))) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT))) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+
+
+def _minhash_sql(threshold: float = 0.5) -> str:
+    """MinHash-LSH near-dup oracle: the ENTIRE pipeline in SQL — md5 token
+    hashes, k=3 rolling shingles (mod-2^64 split multiply), the 64
+    (a*x+b) mod 2^61-1 permutations with the engine's exact
+    wrap-then-fold arithmetic and embedded seed-42 constants, 16x4
+    banding via signature-component equality (the engine's FNV band hash
+    is injective on the 4-tuple up to ~2^-63 collisions), and exact
+    unique-shingle Jaccard with banker's rounding (np.round parity)."""
+    from rayfts.ops.dedup import _POLY_BASE, _perm_params
+
+    M = 1 << 64
+    B = int(_POLY_BASE)
+    B2 = (B * B) % M
+    a_arr, b_arr = _perm_params(64, seed=42)
+    roll3 = f"(({_mulmod64_sql('hs[i]', B2)} + {_mulmod64_sql('hs[i+1]', B)} + hs[i+2]) % 18446744073709551616)"
+    roll2 = f"(({_mulmod64_sql('hs[1]', B)} + hs[2]) % 18446744073709551616)"
+    perm_rows = ", ".join(
+        f"({p}, {int(a_arr[p])}, {int(b_arr[p])})" for p in range(64)
+    )
+    mmax = "CAST('18446744073709551615' AS HUGEINT)"
+    band_ok = " AND ".join(
+        f"a.sig[4*g.j+{r}] = b.sig[4*g.j+{r}]" for r in (1, 2, 3, 4)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT
+     for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS hs
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+         WHEN len(hs) = 1 THEN [CAST(hs[1] AS HUGEINT)]
+         WHEN len(hs) = 2 THEN [{roll2}]
+         ELSE [{roll3} for i in generate_series(1, len(hs) - 2)]
+    END AS sh
+  FROM t
+),
+uniqs AS (SELECT doc_id, list_sort(list_distinct(sh)) AS us FROM shingles),
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+sx AS (SELECT s.doc_id, u.x FROM shingles s, unnest(s.sh) AS u(x)),
+prods AS (
+  SELECT sx.doc_id, perms.p,
+    (((CAST(sx.x % 4294967296 AS HUGEINT) * (pa % 4294967296)
+       + ((CAST(sx.x % 4294967296 AS HUGEINT) * (pa // 4294967296)
+          + CAST(sx.x // 4294967296 AS HUGEINT) * (pa % 4294967296)) % 4294967296) * 4294967296
+      ) % 18446744073709551616
+     + pb) % 18446744073709551616) AS w
+  FROM sx, perms
+),
+folded AS (
+  SELECT doc_id, p, (w % 2305843009213693952) + (w // 2305843009213693952) AS v
+  FROM prods
+),
+minh AS (
+  SELECT doc_id, p,
+         min(CASE WHEN v >= 2305843009213693951 THEN v - 2305843009213693951 ELSE v END) AS mh
+  FROM folded GROUP BY doc_id, p
+),
+sigl AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM minh GROUP BY doc_id),
+allsigs AS (
+  SELECT u.doc_id,
+         COALESCE(s.sig, [{mmax} for _ in generate_series(1, 64)]) AS sig,
+         u.us
+  FROM uniqs u LEFT JOIN sigl s ON s.doc_id = u.doc_id
+),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.us AS ua, b.us AS ub
+  FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id
+  WHERE EXISTS (SELECT 1 FROM generate_series(0, 15) AS g(j) WHERE {band_ok})
+),
+jac AS (
+  SELECT id_a, id_b,
+    CASE WHEN len(ua) = 0 AND len(ub) = 0 THEN 1.0
+         ELSE CAST(len(list_intersect(ua, ub)) AS DOUBLE)
+              / (len(ua) + len(ub) - len(list_intersect(ua, ub)))
+    END AS j
+  FROM cands
+)
+SELECT id_a, id_b, round_even(j, 6) AS jaccard FROM jac WHERE j >= {threshold} ORDER BY id_a, id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -700,4 +861,11 @@ s AS (
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id
 FROM s ORDER BY cos DESC, vec_id LIMIT 10
 """
+    # fingerprints + simhash: exact arithmetic oracles (md5 token hashes,
+    # mod-2^64 rolling hash / bit votes) — hamming <= 3 implies a shared
+    # 16-bit band (pigeonhole), so the full-pairwise SQL equals the
+    # engine's banded candidate set at max_hamming=3
+    sql["fingerprints"] = _fingerprint_sql()
+    sql["simhash_near_dup"] = _SIMHASH_SQL
+    sql["minhash_dedup_pairs"] = _minhash_sql(threshold=0.5)
     return sql

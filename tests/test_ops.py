@@ -6,6 +6,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+import pyarrow.parquet as pq
 import ray.data
 
 SF = "/root/testdata/sf0.001"
@@ -259,3 +260,29 @@ def test_term_postings_export_matches_duckdb(ray_session, tmp_path):
         """).fetchall()
         assert docids.tolist() == [r[0] for r in exp], term
         assert tfs.tolist() == [r[1] for r in exp], term
+
+
+def test_near_dup_oracles_match_duckdb(ray_session):
+    """The minhash / simhash / fingerprint pipelines match their DuckDB
+    oracles bit-for-bit at sf0.001 (the driver runs the same comparison
+    at sf0.01) — md5 hashes, mod-2^64 rolling arithmetic, permutation
+    constants, banding, and rounding all reproduced in SQL."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("documents", pq.read_table(f"{SF}/documents.parquet"))
+    q, o = e.queries(), e.oracle_sql()
+    for name in ["fingerprints", "simhash_near_dup", "minhash_dedup_pairs"]:
+        res = q[name](SF)
+        if hasattr(res, "take_all"):
+            res = pa.Table.from_pylist(res.take_all())
+        orc = con.sql(o[name]).arrow()
+        assert res.num_rows == orc.num_rows, name
+        ra = res.select(sorted(res.column_names))
+        oa = orc.select(sorted(orc.column_names))
+        assert ra.equals(oa), name
