@@ -436,22 +436,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def batch_search_q(sf):
         """Bulk query evaluation: Dataset of query strings through the
-        stateful BatchSearchStage actor pool."""
+        stateful BatchSearchStage actor pool, over the SQL-reproducible
+        index config; ranks re-keyed on (score desc, stored doc_id) so
+        the DuckDB oracle can reproduce them exactly."""
         from rayfts.query.serve import batch_search
 
-        s = _docs_index(sf, "fts")
-        qds = ray.data.from_arrow(pa.table({
-            "query": pa.array([T_MID, T_HOT, f"{T_MID} {T_B}"])
-        }))
-        rows = sorted(
-            batch_search(qds, s.index_dir, limit=5).take_all(),
-            key=lambda r: (r["query"], r["rank"]),
-        )
+        s = _docs_index(sf, "oracle")
+        queries = [T_MID, T_HOT, f"{T_MID} {T_B}"]
+        qds = ray.data.from_arrow(pa.table({"query": pa.array(queries)}))
+        rows = batch_search(qds, s.index_dir, limit=5).take_all()
+        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        stored = _stored_doc_ids(s, ids)
+        recs = sorted(
+            ({"query": r["query"], "score": round(r["score"], 6), "doc_id": int(st)}
+             for r, st in zip(rows, stored)),
+            key=lambda r: (r["query"], -r["score"], r["doc_id"]))
+        out_rows = []
+        rank, lastq = 0, None
+        for r in recs:
+            rank = rank + 1 if r["query"] == lastq else 1
+            lastq = r["query"]
+            out_rows.append((r["query"], rank, r["doc_id"], r["score"]))
         return pa.table({
-            "query": pa.array([r["query"] for r in rows], type=pa.string()),
-            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
-            "doc_id_internal": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
-            "score": pa.array([round(r["score"], 6) for r in rows], type=pa.float64()),
+            "query": pa.array([r[0] for r in out_rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
         })
 
     q["batch_search"] = batch_search_q
@@ -728,6 +738,41 @@ SELECT id_a, id_b, round_even(j, 6) AS jaccard FROM jac WHERE j >= {threshold} O
 """
 
 
+
+
+def _batch_search_sql(limit: int = 5) -> str:
+    """Per-query BM25 top-k over the bulk query set, one UNION ALL branch
+    per query (single terms reuse the per-term score CTE; the two-term
+    query is a FULL OUTER JOIN score sum — OR semantics)."""
+    queries = [T_MID, T_HOT, f"{T_MID} {T_B}"]
+    all_terms = sorted({t for q in queries for t in q.split()})
+    ctes = ", ".join(_bm25_term_sql(t).strip() for t in all_terms)
+    parts = []
+    for qtext in queries:
+        terms = qtext.split()
+        if len(terms) == 1:
+            src = f"(SELECT doc_id, score FROM sc_{_safe(terms[0])})"
+        else:
+            t1, t2 = terms
+            src = (
+                f"(SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id, "
+                f"COALESCE(x.score, 0) + COALESCE(y.score, 0) AS score "
+                f"FROM sc_{_safe(t1)} x FULL OUTER JOIN sc_{_safe(t2)} y "
+                f"ON x.doc_id = y.doc_id)"
+            )
+        parts.append(
+            f"(SELECT '{qtext}' AS query, "
+            f"CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, "
+            f"doc_id, round(score, 6) AS score FROM {src} "
+            f"ORDER BY score DESC, doc_id LIMIT {limit})"
+        )
+    return (
+        f"WITH {_TOKS_CTE}, {ctes} "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY query, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = {k: sorted(v) for k, v in __import__("rayfts.ops.textstats", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS.items()}
 
@@ -868,4 +913,5 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 10
     sql["fingerprints"] = _fingerprint_sql()
     sql["simhash_near_dup"] = _SIMHASH_SQL
     sql["minhash_dedup_pairs"] = _minhash_sql(threshold=0.5)
+    sql["batch_search"] = _batch_search_sql(limit=5)
     return sql

@@ -2,12 +2,15 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment): each stage tries the real library in ``__init__`` and
-otherwise either raises ``NotImplementedError`` (default) or runs a
+Each stage loads its decoder library once per actor in ``__init__``:
+with the library present (and ``fake=False``) the REAL kernel runs
+(PIL decode/resize, soundfile frames, av key frames); without it the
+stage either raises ``NotImplementedError`` (default) or runs a
 clearly-marked deterministic fake (``fake=True``) so the Ray-side
 plumbing — schema, batch sizing, actor signature, output layout — is
-real and tested end-to-end.
+real and tested end-to-end even in library-less environments like this
+one. Real branches are covered by ``pytest.importorskip``-guarded
+tests that activate wherever the libraries exist.
 
 At 100 TB the shapes matter: binary payloads make wide rows, so these
 stages run with small ``batch_size`` and bounded ``concurrency`` and emit
@@ -17,6 +20,7 @@ fixed-size feature columns (never re-emitting the payload unless asked).
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -63,6 +67,17 @@ class _MediaStage:
                 "environment; pass fake=True for the deterministic stub"
             )
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.lib is not None and not self.fake:
+            return self._call_real(batch)
+        return self._call_fake(batch)
+
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        raise NotImplementedError
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError
+
     def _finish(self, batch: pa.Table, cols: dict[str, pa.Array]) -> pa.Table:
         for name, arr in cols.items():
             batch = batch.append_column(name, arr)
@@ -71,13 +86,33 @@ class _MediaStage:
         return batch
 
 
+def _pil_image(lib):  # pragma: no cover - lib-gated
+    import importlib
+
+    return importlib.import_module("PIL.Image")
+
+
 class DecodeImage(_MediaStage):
-    """payload -> (width, height, channels). FAKE path derives dims from a
-    payload digest — deterministic, no pixel decoding."""
+    """payload -> (width, height, channels). Real path decodes headers
+    with PIL; FAKE path derives dims from a payload digest."""
 
     lib_name = "PIL"
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        Image = _pil_image(self.lib)
+        ws, hs, cs = [], [], []
+        for payload in batch["payload"].to_pylist():
+            with Image.open(io.BytesIO(payload)) as im:
+                ws.append(im.width)
+                hs.append(im.height)
+                cs.append(len(im.getbands()))
+        return self._finish(batch, {
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "channels": pa.array(cs, type=pa.int32()),
+        })
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
         ws, hs, cs = [], [], []
         for payload in batch["payload"].to_pylist():
             d = hashlib.sha256(payload or b"").digest()
@@ -92,13 +127,26 @@ class DecodeImage(_MediaStage):
 
 
 class ImageFeatures(_MediaStage):
-    """payload -> fixed 16-dim feature vector. FAKE path: normalized bytes
-    of the sha256 digest (stable embedding-shaped output)."""
+    """payload -> fixed 16-dim feature vector. Real path: grayscale 4x4
+    thumbnail, normalized pixels; FAKE path: normalized sha256 bytes."""
 
     lib_name = "PIL"
     DIM = 16
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        Image = _pil_image(self.lib)
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            with Image.open(io.BytesIO(payload)) as im:
+                small = im.convert("L").resize((4, 4))
+                v = np.asarray(small, dtype=np.float32).reshape(self.DIM)
+            v = v / (np.linalg.norm(v) or 1.0)
+            feats.append(v.tolist())
+        return self._finish(batch, {
+            "features": pa.array(feats, type=pa.list_(pa.float32(), self.DIM)),
+        })
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload in batch["payload"].to_pylist():
             d = hashlib.sha256(payload or b"").digest()
@@ -111,8 +159,8 @@ class ImageFeatures(_MediaStage):
 
 
 class AudioFrameSample(_MediaStage):
-    """payload -> sampled frame offsets (every ``stride`` bytes as a stand-in
-    for decoded frames). FAKE path slices the raw payload deterministically."""
+    """payload -> sampled frame offsets. Real path reads with soundfile
+    and reports sample indices; FAKE path uses byte offsets."""
 
     lib_name = "soundfile"
 
@@ -121,7 +169,17 @@ class AudioFrameSample(_MediaStage):
         self.stride = stride
         self.n_frames = n_frames
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        offs = []
+        for payload in batch["payload"].to_pylist():
+            data, _sr = self.lib.read(io.BytesIO(payload))
+            n = len(data)
+            offs.append([min(i * self.stride, max(n - 1, 0)) for i in range(self.n_frames)])
+        return self._finish(batch, {
+            "frame_offsets": pa.array(offs, type=pa.list_(pa.int64())),
+        })
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
         offs = []
         for payload in batch["payload"].to_pylist():
             ln = len(payload or b"")
@@ -132,9 +190,9 @@ class AudioFrameSample(_MediaStage):
 
 
 class ResizeImage(_MediaStage):
-    """payload -> resized payload + new dims. FAKE path re-digests the
-    payload down to ``target*target*3`` deterministic bytes (the real path
-    would decode, resize with PIL, re-encode). Emits the payload because
+    """payload -> resized payload + new dims. Real path decodes, resizes
+    with PIL and re-encodes PNG; FAKE path re-digests the payload down to
+    ``target*target*3`` deterministic bytes. Emits the payload because
     resize is a payload TRANSFORM — callers chain ``drop_payload`` stages
     after it; batch sizing stays small for the wide rows."""
 
@@ -145,7 +203,23 @@ class ResizeImage(_MediaStage):
         super().__init__(**kw)
         self.target = target
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        Image = _pil_image(self.lib)
+        out = []
+        for payload in batch["payload"].to_pylist():
+            with Image.open(io.BytesIO(payload)) as im:
+                small = im.resize((self.target, self.target))
+                buf = io.BytesIO()
+                small.save(buf, format="PNG")
+                out.append(buf.getvalue())
+        batch = batch.drop_columns(["payload"])
+        return self._finish(batch, {
+            "payload": pa.array(out, type=pa.binary()),
+            "width": pa.array([self.target] * batch.num_rows, type=pa.int32()),
+            "height": pa.array([self.target] * batch.num_rows, type=pa.int32()),
+        })
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
         out = []
         need = self.target * self.target * 3
         for payload in batch["payload"].to_pylist():
@@ -161,8 +235,8 @@ class ResizeImage(_MediaStage):
 
 
 class VideoFrameSample(_MediaStage):
-    """payload -> n uniformly-spaced frame digests (stand-ins for decoded
-    key frames). FAKE path digests payload windows deterministically."""
+    """payload -> n uniformly-spaced frame digests. Real path decodes key
+    frames with av; FAKE path digests payload windows."""
 
     lib_name = "av"
 
@@ -170,7 +244,24 @@ class VideoFrameSample(_MediaStage):
         super().__init__(**kw)
         self.n_frames = n_frames
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        frames = []
+        for payload in batch["payload"].to_pylist():
+            with self.lib.open(io.BytesIO(payload)) as container:
+                decoded = [f.to_ndarray().tobytes()
+                           for f in container.decode(video=0)]
+            if not decoded:
+                decoded = [b"\x00"]
+            step = max(1, len(decoded) // self.n_frames)
+            frames.append([
+                hashlib.sha256(decoded[min(i * step, len(decoded) - 1)]).hexdigest()[:16]
+                for i in range(self.n_frames)
+            ])
+        return self._finish(batch, {
+            "frame_digests": pa.array(frames, type=pa.list_(pa.string())),
+        })
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
         frames = []
         for payload in batch["payload"].to_pylist():
             p = payload or b"\x00"

@@ -286,3 +286,54 @@ def test_near_dup_oracles_match_duckdb(ray_session):
         ra = res.select(sorted(res.column_names))
         oa = orc.select(sorted(orc.column_names))
         assert ra.equals(oa), name
+
+
+def test_multimodal_real_pil_branch(ray_session):
+    """REAL decode branch (runs wherever PIL exists; importorskip here):
+    a genuine PNG goes through DecodeImage/ImageFeatures/ResizeImage with
+    fake=False and real dimensions come back."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from rayfts.ops.multimodal import (DecodeImage, ImageFeatures,
+                                       ResizeImage, decode_pipeline)
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "media_type": pa.array(["image", "image"]),
+        "payload": pa.array([png_bytes(20, 10), png_bytes(7, 9)], type=pa.binary()),
+        "meta_json": pa.array(["{}", "{}"]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = sorted(decode_pipeline(ds, DecodeImage, fake=False).take_all(),
+                 key=lambda r: r["media_id"])
+    assert [(r["width"], r["height"], r["channels"]) for r in out] == [
+        (20, 10, 3), (7, 9, 3)]
+    feats = decode_pipeline(ray.data.from_arrow(tbl), ImageFeatures, fake=False).take_all()
+    assert all(len(r["features"]) == 16 for r in feats)
+    rs = sorted(decode_pipeline(ray.data.from_arrow(tbl), ResizeImage,
+                                fake=False, target=8).take_all(),
+                key=lambda r: r["media_id"])
+    with Image.open(io.BytesIO(rs[0]["payload"])) as im:
+        assert im.size == (8, 8)
+
+
+def test_multimodal_fake_flag_required_without_libs():
+    """Without the decoder library, fake=False must raise loudly instead
+    of silently running the stub."""
+    from rayfts.ops.multimodal import DecodeImage
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; the no-lib branch is not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        DecodeImage(fake=False)
