@@ -348,7 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         build_term_postings(_docs_ds(sf), out, col="text",
                             analyzer="default", num_buckets=8)
         rows = []
-        for term in [T_MID, T_HOT, T_B]:
+        for term in sorted([T_MID, T_HOT, T_B]):  # oracle row order (term, doc_id)
             docids, tfs = read_posting(out, term)
             for d, t in zip(docids.tolist(), tfs.tolist()):
                 rows.append({"term": term, "doc_id": d, "tf": t})
