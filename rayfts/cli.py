@@ -134,11 +134,17 @@ def cmd_batch_search(args) -> int:
 
 def cmd_merge(args) -> int:
     _ensure_ray()
-    from rayfts.index.merge import merge_index
+    from rayfts.index.merge import log_merge_index, merge_index
 
     t0 = time.time()
-    manifest = merge_index(args.index, group_size=args.group_size,
-                           num_actors=args.concurrency)
+    if args.log_policy:
+        manifest = log_merge_index(args.index, min_merge=args.min_merge,
+                                   max_merge=args.group_size,
+                                   num_actors=args.concurrency,
+                                   max_passes=args.max_passes)
+    else:
+        manifest = merge_index(args.index, group_size=args.group_size,
+                               num_actors=args.concurrency)
     print(json.dumps({
         "index": args.index, "segments": len(manifest.segments),
         "docs": manifest.num_docs, "seconds": round(time.time() - t0, 2),
@@ -258,6 +264,11 @@ def main(argv: list[str] | None = None) -> int:
     bs.set_defaults(fn=cmd_batch_search)
 
     m = sub.add_parser("merge", help="merge small segments (actor pool)")
+    m.add_argument("--log-policy", action="store_true",
+                   help="LogMergePolicy-like tiered compaction (contiguous "
+                        "same-level runs) instead of fixed groups")
+    m.add_argument("--min-merge", type=int, default=8)
+    m.add_argument("--max-passes", type=int, default=8)
     m.add_argument("--index", required=True)
     m.add_argument("--group-size", type=int, default=8)
     m.add_argument("--concurrency", type=int, default=4)

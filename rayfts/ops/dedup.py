@@ -222,21 +222,40 @@ class MinHashBands:
         if tok_h.size == 0:
             return sig
         tok_counts = np.bincount(doc_idx, minlength=n)
-        # shingles per doc laid out contiguously (doc-major token order)
-        sh_counts = np.maximum(tok_counts - (self.k - 1), (tok_counts > 0).astype(np.int64))
-        # windows that stay inside one doc: per-doc poly windows via one
-        # global sliding window + validity mask (window start's doc ==
-        # window end's doc); short docs handled by a per-doc tail window
-        sh_list = []
-        sh_doc = []
+        # windows that stay inside one doc: ONE global sliding window over
+        # the doc-major token stream + a validity mask (window start's doc
+        # == window end's doc); docs shorter than k get one whole-doc
+        # window per length group — no per-doc Python loop
+        k = self.k
+        with np.errstate(over="ignore"):
+            powers = np.empty(k, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * _POLY_BASE
+        sh_parts: list[np.ndarray] = []
+        shdoc_parts: list[np.ndarray] = []
+        if tok_h.size >= k:
+            win = np.lib.stride_tricks.sliding_window_view(tok_h, k)
+            with np.errstate(over="ignore"):
+                h_all = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+            w_docs = doc_idx[: doc_idx.size - k + 1]
+            valid = w_docs == doc_idx[k - 1:]
+            sh_parts.append(h_all[valid])
+            shdoc_parts.append(w_docs[valid])
         starts = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
-        for d in np.flatnonzero(tok_counts):  # per-doc slices, numpy inner
-            h = tok_h[starts[d]: starts[d] + tok_counts[d]]
-            s = _poly_shingles(h, self.k)
-            sh_list.append(s)
-            sh_doc.append(np.full(s.size, d, dtype=np.int64))
-        sh = np.concatenate(sh_list)
-        sh_doc = np.concatenate(sh_doc)
+        for l in range(1, k):
+            docs_l = np.flatnonzero(tok_counts == l)
+            if docs_l.size == 0:
+                continue
+            idx = starts[docs_l][:, None] + np.arange(l)[None, :]
+            with np.errstate(over="ignore"):
+                h_l = (tok_h[idx] * powers[:l][::-1]).sum(axis=1, dtype=np.uint64)
+            sh_parts.append(h_l)
+            shdoc_parts.append(docs_l)
+        sh = np.concatenate(sh_parts)
+        sh_doc = np.concatenate(shdoc_parts)
+        order = np.argsort(sh_doc, kind="stable")  # reduceat needs doc-major
+        sh, sh_doc = sh[order], sh_doc[order]
         run_starts = np.flatnonzero(np.concatenate([[True], sh_doc[1:] != sh_doc[:-1]]))
         run_docs = sh_doc[run_starts]
         with np.errstate(over="ignore"):
