@@ -35,7 +35,7 @@ from rayfts.query.ast import All, Bool, Fuzzy, Phrase, Range, Regex, Term
 from rayfts.query.searcher import Searcher
 
 # bump when the on-disk index format changes (invalidates /tmp caches)
-FORMAT_VERSION = "v5"  # v5: input-mode docids follow file row order (no key re-sort)
+FORMAT_VERSION = "v6"  # v6: tantivy-exact fieldnorm table + facet sidecars
 CACHE_ROOT = "/tmp/rayfts_cache"
 NUM_SEGMENTS = 16
 
