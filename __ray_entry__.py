@@ -490,6 +490,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["simhash_near_dup"] = simhash_q
 
+    def ngram_jaccard_q(sf):
+        from rayfts.ops.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs_ds(sf), threshold=0.5).sort(["id_a", "id_b"])
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard_q
+
     def cosine_dup_q(sf):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
@@ -773,6 +780,49 @@ def _batch_search_sql(limit: int = 5) -> str:
     )
 
 
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """Exact n-gram Jaccard oracle: same md5/shingle machinery as the
+    minhash oracle, but full pairwise over unique shingle sets — the
+    engine's inverted-shingle-index pipeline finds exactly the pairs with
+    >=1 shared shingle and jaccard >= threshold."""
+    from rayfts.ops.dedup import _POLY_BASE
+
+    M = 1 << 64
+    B = int(_POLY_BASE)
+    B2 = (B * B) % M
+    roll3 = f"(({_mulmod64_sql('hs[i]', B2)} + {_mulmod64_sql('hs[i+1]', B)} + hs[i+2]) % 18446744073709551616)"
+    roll2 = f"(({_mulmod64_sql('hs[1]', B)} + hs[2]) % 18446744073709551616)"
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT
+     for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS hs
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+         WHEN len(hs) = 1 THEN [CAST(hs[1] AS HUGEINT)]
+         WHEN len(hs) = 2 THEN [{roll2}]
+         ELSE [{roll3} for i in generate_series(1, len(hs) - 2)]
+    END AS sh
+  FROM t
+),
+uniqs AS (SELECT doc_id, list_distinct(sh) AS us FROM shingles),
+jac AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.us, b.us)) AS inter,
+    len(a.us) + len(b.us) - len(list_intersect(a.us, b.us)) AS uni
+  FROM uniqs a JOIN uniqs b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.us, b.us)) >= 1
+)
+SELECT id_a, id_b, round_even(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM jac WHERE CAST(inter AS DOUBLE) / uni >= {threshold} ORDER BY id_a, id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = {k: sorted(v) for k, v in __import__("rayfts.ops.textstats", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS.items()}
 
@@ -913,5 +963,6 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 10
     sql["fingerprints"] = _fingerprint_sql()
     sql["simhash_near_dup"] = _SIMHASH_SQL
     sql["minhash_dedup_pairs"] = _minhash_sql(threshold=0.5)
+    sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["batch_search"] = _batch_search_sql(limit=5)
     return sql

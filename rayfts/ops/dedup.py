@@ -705,3 +705,120 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
     # Dataset in, Dataset out: dedup the cross-band duplicates with the
     # hash-partitioned unique (no driver collection); callers sort/take
     return dedup_pairs_partitioned(raw_pairs)
+
+
+# -- exact n-gram Jaccard ---------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    num_parts: int = 64,
+):
+    """EXACT token-k-gram Jaccard near-dup -> Dataset(id_a, id_b, jaccard).
+
+    Unlike minhash-LSH (probabilistic recall) this finds every pair with
+    jaccard >= threshold, via an inverted shingle index — the same shape
+    as the posting-list build:
+
+    1. per-doc UNIQUE shingle hashes explode to (shingle, doc, set_size)
+       rows (set size rides along so no size join is needed later);
+    2. ``groupby`` on a uniform shingle-hash partition: co-occurring doc
+       pairs per shingle (vectorized run pairing, one row per shared
+       shingle);
+    3. ``groupby`` on the pair partition: row count per pair IS the
+       intersection size; jaccard = inter / (|A| + |B| - inter).
+
+    ``max_shingle_df`` (None = exact) skips stop-gram buckets bigger than
+    the cap — the documented web-scale tradeoff, where a shingle shared
+    by 10^5 docs would emit 10^10 pair rows; capped runs undercount
+    intersections for pairs only co-occurring in ultra-common shingles.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh_list = [shingle_hashes("" if t is None else t, k) for t in texts]
+        counts = np.fromiter((s.size for s in sh_list), dtype=np.int64,
+                             count=len(sh_list))
+        sh = (np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64))
+        part = (sh % np.uint64(num_parts)).astype(np.int32)
+        return pa.table({
+            "sh": pa.array(sh.astype(np.int64)),
+            id_col: pa.array(np.repeat(ids, counts), type=pa.int64()),
+            "nsh": pa.array(np.repeat(counts, counts), type=pa.int64()),
+            "__sp": pa.array(part),
+        })
+
+    def shingle_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "na": pa.array([], type=pa.int64()),
+                          "nb": pa.array([], type=pa.int64()),
+                          "__pp": pa.array([], type=pa.int32())})
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[("sh", "ascending"), (id_col, "ascending")])
+        t = g.take(order)
+        sh = t["sh"].to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        nsh = t["nsh"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        ends = np.append(starts[1:], len(sh))
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            if max_shingle_df is not None and e - s > max_shingle_df:
+                continue  # stop-gram: documented truncation
+            run_ids, run_n = ids[s:e], nsh[s:e]
+            iu, ju = np.triu_indices(run_ids.size, k=1)
+            a_out.append(run_ids[iu]); b_out.append(run_ids[ju])
+            na_out.append(run_n[iu]); nb_out.append(run_n[ju])
+        if not a_out:
+            return empty
+        a = np.concatenate(a_out); b = np.concatenate(b_out)
+        with np.errstate(over="ignore"):
+            h = (a.astype(np.uint64) * _GOLDEN) ^ (b.astype(np.uint64) * _GOLDEN >> np.uint64(32))
+        return pa.table({
+            "id_a": pa.array(a, type=pa.int64()),
+            "id_b": pa.array(b, type=pa.int64()),
+            "na": pa.array(np.concatenate(na_out), type=pa.int64()),
+            "nb": pa.array(np.concatenate(nb_out), type=pa.int64()),
+            "__pp": pa.array((h % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+        t = g.take(order)
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]))
+        ends = np.append(starts[1:], len(a))
+        inter = (ends - starts).astype(np.float64)
+        union = (na[starts] + nb[starts] - inter)
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table({
+            "id_a": pa.array(a[starts][keep], type=pa.int64()),
+            "id_b": pa.array(b[starts][keep], type=pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(shingle_pairs, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(count_pairs, batch_format="pyarrow")
+    )

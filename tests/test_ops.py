@@ -337,3 +337,37 @@ def test_multimodal_fake_flag_required_without_libs():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         DecodeImage(fake=False)
+
+
+def test_ngram_jaccard_exact_pairs(ray_session):
+    """Exact n-gram Jaccard (inverted shingle index): finds every pair
+    above the threshold — including ones minhash-LSH could miss — and
+    matches the DuckDB oracle exactly."""
+    import sys
+
+    import duckdb
+
+    from rayfts.ops.dedup import exact_jaccard, ngram_jaccard_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:30] + [f"x{i}" for i in range(10)])
+    c = " ".join(f"z{i}" for i in range(40))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([a, b, c]),
+    })
+    pairs = ngram_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.3).take_all()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(round(exact_jaccard(a, b), 6), abs=1e-6)
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.register("documents", pq.read_table(f"{SF}/documents.parquet"))
+    res = pa.Table.from_pylist(e.queries()["ngram_jaccard_pairs"](SF).take_all())
+    orc = con.sql(e.oracle_sql()["ngram_jaccard_pairs"]).arrow()
+    assert res.num_rows == orc.num_rows
+    assert res.select(sorted(res.column_names)).equals(orc.select(sorted(orc.column_names)))
