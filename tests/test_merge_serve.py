@@ -82,6 +82,11 @@ def test_search_service_matches_local(built, ray_session):
         assert svc.count("the") == local.count("the")
         hits = svc.search("merge", limit=3, fetch=True)
         assert all(doc and "doc_id" in doc for _s, _g, doc in hits)
+        # batched two-fan-out path returns the same results per query
+        many = svc.search_many(QUERIES, limit=10)
+        for q, got in zip(QUERIES, many):
+            want = [(round(h.score, 12), h.doc_id) for h in local.top_k(q, 10)]
+            assert [(round(s, 12), g) for s, g in got] == want, q
     finally:
         svc.shutdown()
 
