@@ -261,3 +261,105 @@ def cosine_near_dup_pairs(
         })
 
     return assigned.groupby("cluster").map_groups(cluster_pairs, batch_format="pyarrow")
+
+
+class IVFBatchSearch:
+    """Actor-pool stage for BULK ANN: a Dataset of query vectors through
+    ``map_batches(IVFBatchSearch, fn_constructor_kwargs={...})``.
+
+    Each actor loads the centroid matrix once and lazily caches the
+    cluster partitions it probes (reading only ``spill_dir/cluster=N/``
+    files — never the whole store), so a query stream touches each hot
+    cluster's Parquet exactly once per actor. Queries batch into one
+    matmul per probed cluster. Emits (query_id, rank, id, cosine) rows.
+    """
+
+    def __init__(self, spill_dir: str, centroids: np.ndarray, nprobe: int = 4,
+                 k: int = 10, col: str = "embedding", id_col: str = "vec_id",
+                 query_col: str = "query", query_id_col: str = "query_id"):
+        self.index = IVFIndex(n_clusters=len(centroids), nprobe=nprobe)
+        self.index.centroids = np.asarray(centroids, dtype=np.float64)
+        self.index.spill_dir = spill_dir
+        self.index._col, self.index._id_col = col, id_col
+        self.k = k
+        self.id_col = id_col
+        self.query_col = query_col
+        self.query_id_col = query_id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qm = _normalize(_batch_matrix(batch, self.query_col))
+        qids = batch[self.query_id_col].to_numpy(zero_copy_only=False)
+        nprobe = self.index.nprobe
+        # probe sets per query, grouped by cluster so each cluster is one
+        # (cluster_members x queries_probing_it) matmul
+        probes = np.argsort(-(qm @ self.index.centroids.T), axis=1)[:, :nprobe]
+        out_q, out_i, out_s = [], [], []
+        cand: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for cl in np.unique(probes):
+            loaded = self.index._load_cluster(int(cl))
+            if loaded is None:
+                continue
+            vecs, ids = loaded
+            qsel = np.flatnonzero((probes == cl).any(axis=1))
+            sims = vecs @ qm[qsel].T  # (members, |qsel|)
+            for j, qi in enumerate(qsel):
+                prev = cand.get(qi)
+                s = sims[:, j]
+                if prev is None:
+                    cand[qi] = (ids, s)
+                else:
+                    cand[qi] = (np.concatenate([prev[0], ids]),
+                                np.concatenate([prev[1], s]))
+        for qi in range(qm.shape[0]):
+            ids_s = cand.get(qi)
+            if ids_s is None:
+                continue
+            ids, sims = ids_s
+            keep = np.lexsort((ids, -sims))[: self.k]
+            for rank, i in enumerate(keep, 1):
+                out_q.append(int(qids[qi]))
+                out_i.append(int(ids[i]))
+                out_s.append(round(float(sims[i]), 6))
+        ranks = []
+        last, r = None, 0
+        for q in out_q:
+            r = r + 1 if q == last else 1
+            last = q
+            ranks.append(r)
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+            self.id_col: pa.array(out_i, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def ivf_batch_search(queries_ds, index: IVFIndex, k: int = 10,
+                     concurrency=None, query_col: str = "query",
+                     query_id_col: str = "query_id"):
+    """Wire a query-vector Dataset through an IVFBatchSearch actor pool
+    against a built (spilled) IVF index."""
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n = max(2, cpus // 2)
+        concurrency = (n, n)
+    max_actors = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    queries_ds = queries_ds.repartition(max(1, int(max_actors) * 2))
+    return queries_ds.map_batches(
+        IVFBatchSearch,
+        fn_constructor_kwargs={
+            "spill_dir": index.spill_dir,
+            "centroids": index.centroids,
+            "nprobe": index.nprobe,
+            "k": k,
+            "col": index._col,
+            "id_col": index._id_col,
+            "query_col": query_col,
+            "query_id_col": query_id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

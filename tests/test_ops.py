@@ -371,3 +371,30 @@ def test_ngram_jaccard_exact_pairs(ray_session):
     orc = con.sql(e.oracle_sql()["ngram_jaccard_pairs"]).arrow()
     assert res.num_rows == orc.num_rows
     assert res.select(sorted(res.column_names)).equals(orc.select(sorted(orc.column_names)))
+
+
+def test_ivf_batch_search_matches_single(ray_session):
+    """Bulk ANN: a Dataset of query vectors through the IVFBatchSearch
+    actor pool returns exactly what per-query IVFIndex.search returns."""
+    import pyarrow.parquet as pq2
+
+    from rayfts.ops.ann import IVFIndex, ivf_batch_search
+
+    emb = pq2.read_table(f"{SF}/embeddings.parquet")
+    ivf = IVFIndex(n_clusters=8, nprobe=3).build(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"))
+    qids = [3, 17, 42]
+    qvecs = [emb["embedding"][i].as_py() for i in qids]
+    qds = ray.data.from_arrow(pa.table({
+        "query_id": pa.array(range(len(qids)), type=pa.int64()),
+        "query": pa.array(qvecs),
+    }))
+    rows = sorted(ivf_batch_search(qds, ivf, k=10, concurrency=(2, 2)).take_all(),
+                  key=lambda r: (r["query_id"], r["rank"]))
+    for qi, qv in enumerate(qvecs):
+        want = IVFIndex(n_clusters=8, nprobe=3).build(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet")).search(
+                np.asarray(qv), k=10)
+        got = [(r["vec_id"], r["cosine"]) for r in rows if r["query_id"] == qi]
+        assert [v for v, _ in got] == [v for v, _ in want]
+        assert all(abs(a - b) < 1e-5 for (_, a), (_, b) in zip(got, want))
