@@ -72,20 +72,25 @@ def brute_force_topk(
             "cosine": pa.array(out_s, type=pa.float64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = {"query_id": [], "rank": [], id_col: [], "cosine": []}
-    for qi, grp in parts.groupby("query_id"):
-        grp = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(grp.iterrows(), 1):
-            rows["query_id"].append(int(qi))
-            rows["rank"].append(r)
-            rows[id_col].append(int(row[id_col]))
-            rows["cosine"].append(round(float(row["cosine"]), 6))
+    # tiny driver merge (k x Q x num_batches rows), fully vectorized:
+    # one lexsort by (query, -cosine, id), then a per-query head-k mask
+    parts = pa.concat_tables(
+        list(ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"))
+    )
+    qid = parts["query_id"].to_numpy(zero_copy_only=False)
+    ids = parts[id_col].to_numpy(zero_copy_only=False)
+    sims = parts["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims, qid))
+    qid, ids, sims = qid[order], ids[order], sims[order]
+    starts = np.flatnonzero(np.concatenate([[True], qid[1:] != qid[:-1]]))
+    pos = np.arange(qid.size) - np.repeat(starts, np.diff(np.append(starts, qid.size)))
+    keep = pos < k
     return pa.table({
-        "query_id": pa.array(rows["query_id"], type=pa.int64()),
-        "rank": pa.array(rows["rank"], type=pa.int64()),
-        id_col: pa.array(rows[id_col], type=pa.int64()),
-        "cosine": pa.array(rows["cosine"], type=pa.float64()),
+        "query_id": pa.array(qid[keep], type=pa.int64()),
+        "rank": pa.array(pos[keep] + 1, type=pa.int64()),
+        id_col: pa.array(ids[keep], type=pa.int64()),
+        "cosine": pa.array(np.round(sims[keep], 6), type=pa.float64()),
     })
 
 

@@ -94,21 +94,27 @@ def exact_dedup(
       ids): ``ds.join(kept_ids)`` — the kept set never touches the
       driver, at the cost of one corpus shuffle.
 
-    ``broadcast=None`` chooses by counting the (already tiny) kept-id
-    aggregate; pass True/False to force a plan."""
-    kept = exact_dedup_ids(ds, col, id_col).materialize()
-    if broadcast is None:
-        broadcast = kept.count() <= broadcast_limit
-    if not broadcast:
+    ``broadcast=None`` streams the kept ids once and switches to the join
+    plan only if the stream exceeds ``broadcast_limit`` (re-running the
+    tiny aggregate in that rare case) — the common path stays one pass."""
+    kept = exact_dedup_ids(ds, col, id_col)
+    if broadcast is False:
         return ds.join(kept, "inner", _join_partitions(num_partitions),
                        on=(id_col,), aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
-    ids = np.sort(
-        np.concatenate([
-            b[id_col].to_numpy(zero_copy_only=False)
-            for b in kept.iter_batches(batch_format="pyarrow")
-        ] or [np.empty(0, np.int64)])
-    )
+    chunks: list[np.ndarray] = []
+    total = 0
+    for b in kept.iter_batches(batch_format="pyarrow"):
+        arr = b[id_col].to_numpy(zero_copy_only=False)
+        chunks.append(arr)
+        total += arr.size
+        if broadcast is None and total > broadcast_limit:
+            return ds.join(
+                exact_dedup_ids(ds, col, id_col), "inner",
+                _join_partitions(num_partitions),
+                on=(id_col,), aggregator_ray_remote_args=_JOIN_AGG_ARGS,
+            )
+    ids = np.sort(np.concatenate(chunks or [np.empty(0, np.int64)]))
     ids_ref = ray.put(ids)
 
     def pick(batch: pa.Table) -> pa.Table:
