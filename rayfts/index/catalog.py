@@ -81,7 +81,40 @@ class Index:
         )
         m.add_segments([info])
         mf.write_manifest(self.path, m)
+        self._maybe_auto_merge()
         return info
+
+    def _maybe_auto_merge(self) -> None:
+        """Post-commit merge check — the reference gets this from tantivy's
+        background LogMergePolicy (``main.rs:7-17`` design notes); here the
+        same tiered policy runs synchronously in-process when a level
+        accumulates ``catalog.auto_merge_min`` contiguous segments. Query
+        results are invariant across the swap (merge preserves docid
+        order), mirroring ReloadPolicy::OnCommit visibility."""
+        min_merge = self.catalog.auto_merge_min
+        if not min_merge:
+            return
+        from rayfts.index.merge import merge_segment_group, plan_log_merge_groups
+
+        m = self.manifest
+        groups = plan_log_merge_groups(
+            m.ordered_segments(), min_merge=min_merge, max_merge=2 * min_merge
+        )
+        if not groups:
+            return
+        infos = [
+            merge_segment_group(self.path, m.schema.to_json(), g) for g in groups
+        ]
+        merged_ids = {sid for g in groups for sid in g}
+        keep = [s for s in m.segments if s.segment_id not in merged_ids]
+        m2 = mf.Manifest(
+            name=m.name, schema=m.schema, segments=keep + infos,
+            opstamp=m.opstamp, version=m.version + 1,
+            build_params=m.build_params,
+        )
+        mf.write_manifest(self.path, m2)
+        for sid in merged_ids:
+            shutil.rmtree(mf.segment_path(self.path, sid), ignore_errors=True)
 
     def add_segments(self, infos: list[SegmentInfo]) -> None:
         """Register segments built elsewhere (their directories must already
@@ -103,9 +136,14 @@ class Index:
 
 
 class IndexCatalog:
-    def __init__(self, root: str, fieldnorm_codec: str = FieldNormCodec.TANTIVY_LIKE):
+    def __init__(self, root: str, fieldnorm_codec: str = FieldNormCodec.TANTIVY_LIKE,
+                 auto_merge_min: int = 8):
         self.root = root
         self.fieldnorm_codec = fieldnorm_codec
+        # LogMergePolicy-like auto-compaction after add_documents commits
+        # (0/None disables); bulk builds (rayfts.index.build) merge
+        # explicitly instead
+        self.auto_merge_min = auto_merge_min
         os.makedirs(root, exist_ok=True)
         self._handles: dict[str, Index] = {}
 

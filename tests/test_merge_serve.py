@@ -157,3 +157,31 @@ def test_log_merge_invariance_and_compaction(ray_session, tmp_path):
         assert [(h.score, h.doc_id) for h in after.top_k(q, 10)] == want[q]
     m2 = log_merge_index(path, min_merge=4, max_merge=8)
     assert [s.segment_id for s in m2.segments] == [s.segment_id for s in m.segments]
+
+
+def test_auto_merge_after_commits(tmp_path):
+    """The reference gets automatic background merging from tantivy's
+    LogMergePolicy; add_documents triggers the same tiered policy after
+    each commit — many tiny commits converge to few segments with
+    identical query results."""
+    from rayfts.index.catalog import IndexCatalog
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    cat = IndexCatalog(str(tmp_path), auto_merge_min=4)
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("id", "text", indexed=False),
+    ])
+    h = cat.create_index("am", schema)
+    for i in range(10):
+        h.add_documents([{"id": f"d{i}", "body": f"alpha token{i} beta"}])
+    assert len(h.manifest.segments) < 10  # compaction happened
+    assert h.searcher().count("alpha") == 10
+    hits = h.query("alpha", limit=10)
+    assert sorted(x["doc"]["id"][0] for x in hits) == [f"d{i}" for i in range(10)]
+    # disabled policy keeps every commit as its own segment
+    cat2 = IndexCatalog(str(tmp_path / "off"), auto_merge_min=0)
+    h2 = cat2.create_index("off", schema)
+    for i in range(6):
+        h2.add_documents([{"id": f"d{i}", "body": "alpha"}])
+    assert len(h2.manifest.segments) == 6
