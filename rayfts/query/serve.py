@@ -80,6 +80,10 @@ class QueryActor:
     def count(self, query) -> int:
         return self.searcher.count(query)
 
+    def facet_counts(self, query, facets: dict) -> list[dict]:
+        """Facet counts over THIS actor's segments (summed service-side)."""
+        return self.searcher.facet_counts(query, facets)
+
     def fetch_docs(self, global_ids: list[int]) -> dict[int, dict]:
         out = {}
         for g in global_ids:
@@ -168,6 +172,20 @@ class SearchService:
 
     def count(self, query) -> int:
         return sum(ray.get([a.count.remote(query) for a in self.actors]))
+
+    def facet_counts(self, query, facets: dict) -> list[dict]:
+        """Distributed facet collector: per-actor counts (each actor scans
+        only its own segments' match sets) summed on the client — a
+        grouped aggregate, the same merge shape as tantivy's segment-level
+        FacetCollector fruit."""
+        resolved = self._resolver._resolve(query)
+        acc: dict[str, int] = {}
+        for part in ray.get(
+            [a.facet_counts.remote(resolved, facets) for a in self.actors]
+        ):
+            for f in part:
+                acc[f["term"]] = acc.get(f["term"], 0) + f["count"]
+        return [{"term": t, "count": c} for t, c in sorted(acc.items())]
 
     def shutdown(self) -> None:
         for a in self.actors:

@@ -87,6 +87,9 @@ def test_search_service_matches_local(built, ray_session):
         for q, got in zip(QUERIES, many):
             want = [(round(h.score, 12), h.doc_id) for h in local.top_k(q, 10)]
             assert [(round(s, 12), g) for s, g in got] == want, q
+        # distributed facet collector == local facet counts
+        facets = {"lang": [""]}
+        assert svc.facet_counts("the", facets) == local.facet_counts("the", facets)
     finally:
         svc.shutdown()
 
