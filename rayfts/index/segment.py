@@ -33,6 +33,19 @@ from dataclasses import dataclass, field as dc_field
 
 _MISSING = object()
 
+
+class _LazyTermEntry(dict):
+    """Term-dictionary entry whose ``"terms"`` numpy-object array (one
+    PyString per vocabulary term) materializes only when a range / fuzzy
+    / merge scan asks for it; point lookups bisect the Arrow array."""
+
+    def __missing__(self, key):
+        if key == "terms":
+            v = np.asarray(self["terms_pa"].to_pylist(), dtype=object)
+            self[key] = v
+            return v
+        raise KeyError(key)
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -414,8 +427,7 @@ class SegmentReader:
         t = self._terms_table
         mask = pa.compute.equal(t["field"], field)
         sub = t.filter(mask)
-        entry = {
-            "terms": np.asarray(sub["term"].to_pylist(), dtype=object),
+        entry = _LazyTermEntry({
             "terms_pa": sub["term"].combine_chunks(),
             "df": sub["df"].to_numpy(),
             "total_tf": sub["total_tf"].to_numpy(),
@@ -423,7 +435,7 @@ class SegmentReader:
             "post_len": sub["post_len"].to_numpy(),
             "pos_off": sub["pos_off"].to_numpy(),
             "pos_len": sub["pos_len"].to_numpy(),
-        }
+        })
         self._terms_by_field[field] = entry
         return entry
 
@@ -458,9 +470,24 @@ class SegmentReader:
         if cached is not _MISSING:
             return cached
         e = self._terms(field)
-        arr = e["terms"]
-        i = int(np.searchsorted(arr, term))
-        out = i if i < arr.size and arr[i] == term else None
+        # bisect over the Arrow string array (no bulk string
+        # materialization on the point-lookup path — a vocabulary of 10^6
+        # terms is 10^6 PyStrings the searcher would never need); fall
+        # back to the numpy array if a range/fuzzy scan already built it
+        arr_np = e.get("terms")
+        if arr_np is not None:
+            i = int(np.searchsorted(arr_np, term))
+            out = i if i < arr_np.size and arr_np[i] == term else None
+        else:
+            arr = e["terms_pa"]
+            lo, hi = 0, len(arr)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if arr[mid].as_py() < term:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            out = lo if lo < len(arr) and arr[lo].as_py() == term else None
         if len(self._ordinal_cache) < 1_000_000:
             self._ordinal_cache[key] = out
         return out
