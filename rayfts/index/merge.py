@@ -234,6 +234,14 @@ def merge_segment_group(
 
 
 @ray.remote
+def _merge_group_task(index_dir: str, schema_json: list, source_ids: list[str]) -> dict:
+    if pa.cpu_count() > 2:  # see MergerActor.__init__
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
+    return merge_segment_group(index_dir, schema_json, source_ids).to_json()
+
+
+@ray.remote
 class MergerActor:
     """Actor-pool merger: one actor merges many groups sequentially,
     amortizing process start; big streaming state stays actor-local."""
@@ -357,14 +365,14 @@ def log_merge_index(
         if not groups:
             break
         schema_json = manifest.schema.to_json()
-        actors = [MergerActor.remote() for _ in range(min(num_actors, len(groups)))]
+        # remote TASKS, not actors: a one-shot compaction reuses the warm
+        # task workers already sitting around from the build, while fresh
+        # actor processes would cold-start (~10 s of spawn+imports on the
+        # first merge of a session)
         futs = [
-            actors[gi % len(actors)].merge.remote(index_dir, schema_json, g)
-            for gi, g in enumerate(groups)
+            _merge_group_task.remote(index_dir, schema_json, g) for g in groups
         ]
         merged_infos = [SegmentInfo.from_json(d) for d in ray.get(futs)]
-        for a in actors:
-            ray.kill(a)
         merged_ids = {sid for g in groups for sid in g}
         keep = [s for s in manifest.segments if s.segment_id not in merged_ids]
         manifest = mf.Manifest(
