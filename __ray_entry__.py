@@ -508,21 +508,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_near_dup"] = cosine_dup_q
 
-    def ann_ivf_q(sf):
+    def _ann_ivf(sf, nprobe: int):
         from rayfts.ops.ann import IVFIndex
         import pyarrow.parquet as pq
 
         emb = pq.read_table(os.path.join(sf, "embeddings.parquet"))
         qvec = np.asarray(emb.filter(pa.compute.equal(emb["vec_id"], 0))["embedding"][0].as_py())
         ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
-        ivf = IVFIndex(n_clusters=8, nprobe=2).build(ds)
+        ivf = IVFIndex(n_clusters=8, nprobe=nprobe).build(ds)
         res = ivf.search(qvec, k=10)
         return pa.table({
             "rank": pa.array(range(1, len(res) + 1), type=pa.int64()),
             "vec_id": pa.array([r[0] for r in res], type=pa.int64()),
         })
 
-    q["ann_ivf_topk"] = ann_ivf_q
+    # full probe (nprobe == n_clusters) is exhaustive over the spilled
+    # cluster store, so the brute-force SQL oracle applies exactly; the
+    # partial-probe variant keeps the recall/reads tradeoff exercised
+    q["ann_ivf_topk"] = lambda sf: _ann_ivf(sf, nprobe=8)
+    q["ann_ivf_partial_probe"] = lambda sf: _ann_ivf(sf, nprobe=2)
 
     def fingerprint_q(sf):
         from rayfts.ops.textstats import fingerprint_batch
@@ -956,6 +960,8 @@ s AS (
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id
 FROM s ORDER BY cos DESC, vec_id LIMIT 10
 """
+    # full-probe IVF == exhaustive cosine top-k (same oracle shape)
+    sql["ann_ivf_topk"] = sql["embedding_topk"]
     # fingerprints + simhash: exact arithmetic oracles (md5 token hashes,
     # mod-2^64 rolling hash / bit votes) — hamming <= 3 implies a shared
     # 16-bit band (pigeonhole), so the full-pairwise SQL equals the
