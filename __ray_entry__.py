@@ -497,16 +497,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ngram_jaccard_pairs"] = ngram_jaccard_q
 
-    def cosine_dup_q(sf):
+    def cosine_dup_q(sf, n_clusters: int):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
         ds = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
         # synthetic embeddings are near-orthogonal (max pairwise cosine
         # ~0.5), so a production-style 0.9 threshold finds nothing; 0.4
         # exercises the full assignment/tile/threshold path with real rows
-        return cosine_near_dup_pairs(ds, threshold=0.4).sort(["id_a", "id_b"])
+        return cosine_near_dup_pairs(
+            ds, threshold=0.4, n_clusters=n_clusters
+        ).sort(["id_a", "id_b"])
 
-    q["embedding_near_dup"] = cosine_dup_q
+    # single cluster = exhaustive all-pairs (tiled) -> exact SQL oracle;
+    # the bucketed variant keeps the IVF-sharded scale path exercised
+    q["embedding_near_dup"] = lambda sf: cosine_dup_q(sf, 1)
+    q["embedding_near_dup_bucketed"] = lambda sf: cosine_dup_q(sf, 16)
 
     def _ann_ivf(sf, nprobe: int):
         from rayfts.ops.ann import IVFIndex
@@ -962,6 +967,24 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 10
 """
     # full-probe IVF == exhaustive cosine top-k (same oracle shape)
     sql["ann_ivf_topk"] = sql["embedding_topk"]
+    # exhaustive (single-cluster) embedding near-dup; f64 arithmetic spelled
+    # out because DuckDB's list_cosine_similarity computes in float32
+    sql["embedding_near_dup"] = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * embedding[i]
+                        for i in generate_series(1, 64)])) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]
+                   for i in generate_series(1, 64)]) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round_even(cos, 6) AS cosine
+FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
+"""
     # fingerprints + simhash: exact arithmetic oracles (md5 token hashes,
     # mod-2^64 rolling hash / bit votes) — hamming <= 3 implies a shared
     # 16-bit band (pigeonhole), so the full-pairwise SQL equals the
