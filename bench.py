@@ -229,7 +229,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     # than it returns and starves the serve pool's per-segment parallelism
     merged_manifest = log_merge_index(idx, min_merge=4, max_merge=16, max_passes=1)
     queries["merge_for_serving"] = round(time.time() - t0, 3)
-    queries["segments_after_merge"] = len(merged_manifest.segments)
+    segments_after_merge = len(merged_manifest.segments)
 
     queries["serve_pool_topk6"] = round(bench_serve_pool(idx), 4)
 
@@ -256,6 +256,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "segments_after_merge": segments_after_merge,
         "build_docs_per_sec": round(docs_per_sec, 1),
         "build_num_docs": ndocs,
         "build_stage_metrics": stage_metrics,
