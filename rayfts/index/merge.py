@@ -207,14 +207,26 @@ def merge_segment_group(
     stores = [r.store() for r in readers]
     merged_store = pa.concat_tables(stores, promote_options="default")
     pq.write_table(merged_store, os.path.join(tmp, STORE_FILE))
-    write_facet_sidecar(
-        tmp,
-        {
-            f.name: merged_store[f.name]
-            for f in schema.fields
-            if f.type == "facet" and f.name in merged_store.column_names
-        },
-    )
+    # facet sidecars regenerate from the SOURCE sidecars (codes decoded to
+    # paths, re-factorized over the union) — not from the merged store,
+    # which lacks stored=False facet fields
+    facet_cols: dict[str, pa.Array] = {}
+    for f in schema.fields:
+        if f.type != "facet":
+            continue
+        vals_parts = []
+        try:
+            for r in readers:
+                codes, paths = r.facet_dict(f.name)
+                v = np.empty(codes.size, dtype=object)
+                m = codes >= 0
+                if m.any():
+                    v[m] = paths[codes[m]]
+                vals_parts.append(v)
+        except KeyError:
+            continue  # field absent in the sources
+        facet_cols[f.name] = pa.array(np.concatenate(vals_parts))
+    write_facet_sidecar(tmp, facet_cols)
 
     info = SegmentInfo(
         segment_id=out_id,
@@ -235,10 +247,18 @@ def merge_segment_group(
 
 @ray.remote
 def _merge_group_task(index_dir: str, schema_json: list, source_ids: list[str]) -> dict:
-    if pa.cpu_count() > 2:  # see MergerActor.__init__
-        pa.set_cpu_count(2)
-        pa.set_io_thread_count(2)
-    return merge_segment_group(index_dir, schema_json, source_ids).to_json()
+    # cap Arrow's pools for the merge, then RESTORE: this task runs in a
+    # reused worker process that later serves other Ray Data tasks (the
+    # actor variant owns its process; a task does not)
+    old_cpu, old_io = pa.cpu_count(), pa.io_thread_count()
+    try:
+        if old_cpu > 2:
+            pa.set_cpu_count(2)
+            pa.set_io_thread_count(2)
+        return merge_segment_group(index_dir, schema_json, source_ids).to_json()
+    finally:
+        pa.set_cpu_count(old_cpu)
+        pa.set_io_thread_count(old_io)
 
 
 @ray.remote
@@ -292,6 +312,10 @@ def merge_index(
         segments=keep + merged_infos,
         opstamp=manifest.opstamp,
         version=manifest.version + 1,
+        # build_params carry the hash-routing / unit-size pins that make
+        # resumes cluster-size independent; dropping them here would let a
+        # later resume silently re-ingest everything
+        build_params=manifest.build_params,
     )
     mf.write_manifest(index_dir, new_manifest)
     if delete_sources:

@@ -315,6 +315,7 @@ class IVFBatchSearch:
                 else:
                     cand[qi] = (np.concatenate([prev[0], ids]),
                                 np.concatenate([prev[1], s]))
+        out_r: list[int] = []
         for qi in range(qm.shape[0]):
             ids_s = cand.get(qi)
             if ids_s is None:
@@ -323,17 +324,12 @@ class IVFBatchSearch:
             keep = np.lexsort((ids, -sims))[: self.k]
             for rank, i in enumerate(keep, 1):
                 out_q.append(int(qids[qi]))
+                out_r.append(rank)
                 out_i.append(int(ids[i]))
                 out_s.append(round(float(sims[i]), 6))
-        ranks = []
-        last, r = None, 0
-        for q in out_q:
-            r = r + 1 if q == last else 1
-            last = q
-            ranks.append(r)
         return pa.table({
             "query_id": pa.array(out_q, type=pa.int64()),
-            "rank": pa.array(ranks, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
             self.id_col: pa.array(out_i, type=pa.int64()),
             "cosine": pa.array(out_s, type=pa.float64()),
         })

@@ -642,7 +642,7 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3) -> pa.Table:
+                           max_hamming: int = 3):
     """Banded simhash near-dup: 4 x 16-bit bands; hamming<=3 guarantees at
     least one identical band (pigeonhole). Groupby per band bucket, then
     exact hamming verification on candidates."""

@@ -417,7 +417,10 @@ class Searcher:
             for v, c in items:
                 for prefix in prefixes:
                     pre = prefix.rstrip("/")
-                    if not v.startswith(pre):
+                    # path-COMPONENT prefix: '/top' covers '/top' and
+                    # '/top/x' but not '/topics' (tantivy facet semantics);
+                    # the empty prefix is the root and covers everything
+                    if pre and not (v == pre or v.startswith(pre + "/")):
                         continue
                     depth = len([p for p in pre.split("/") if p])
                     parts = [p for p in v.split("/") if p]

@@ -80,9 +80,14 @@ class QueryActor:
     def count(self, query) -> int:
         return self.searcher.count(query)
 
-    def facet_counts(self, query, facets: dict) -> list[dict]:
-        """Facet counts over THIS actor's segments (summed service-side)."""
-        return self.searcher.facet_counts(query, facets)
+    def facet_counts(self, query, facets: dict) -> dict[str, list[dict]]:
+        """Facet counts over THIS actor's segments, keyed per FIELD so the
+        service-side sum cannot collapse equal paths from different
+        fields (summed service-side)."""
+        return {
+            field: self.searcher.facet_counts(query, {field: prefixes})
+            for field, prefixes in facets.items()
+        }
 
     def fetch_docs(self, global_ids: list[int]) -> dict[int, dict]:
         out = {}
@@ -179,13 +184,17 @@ class SearchService:
         grouped aggregate, the same merge shape as tantivy's segment-level
         FacetCollector fruit."""
         resolved = self._resolver._resolve(query)
-        acc: dict[str, int] = {}
-        for part in ray.get(
+        parts = ray.get(
             [a.facet_counts.remote(resolved, facets) for a in self.actors]
-        ):
-            for f in part:
-                acc[f["term"]] = acc.get(f["term"], 0) + f["count"]
-        return [{"term": t, "count": c} for t, c in sorted(acc.items())]
+        )
+        out: list[dict] = []
+        for field in facets:  # per-field merge, emitted in request order
+            acc: dict[str, int] = {}
+            for part in parts:
+                for f in part.get(field, []):
+                    acc[f["term"]] = acc.get(f["term"], 0) + f["count"]
+            out.extend({"term": t, "count": c} for t, c in sorted(acc.items()))
+        return out
 
     def shutdown(self) -> None:
         for a in self.actors:

@@ -188,3 +188,77 @@ def test_auto_merge_after_commits(tmp_path):
     for i in range(6):
         h2.add_documents([{"id": f"d{i}", "body": "alpha"}])
     assert len(h2.manifest.segments) == 6
+
+
+def test_merge_index_preserves_build_params(ray_session, tmp_path):
+    """Review r2: merge_index's manifest swap must carry build_params —
+    dropping the num_segments pin would let a later resume silently
+    re-ingest every row."""
+    path = str(tmp_path / "bp")
+    build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=6,
+                partition_mode="hash")
+    before = mf.read_manifest(path).build_params
+    assert before.get("num_segments") == 6
+    merge_index(path, group_size=3, num_actors=1)
+    assert mf.read_manifest(path).build_params == before
+    from rayfts.index.merge import log_merge_index
+    log_merge_index(path, min_merge=2, max_merge=4)
+    assert mf.read_manifest(path).build_params == before
+
+
+def test_unstored_facet_field_survives_merge(tmp_path):
+    """Review r2: facet sidecars regenerate from SOURCE sidecars on merge,
+    so a stored=False facet field keeps working after compaction."""
+    from rayfts.index.catalog import IndexCatalog
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    cat = IndexCatalog(str(tmp_path), auto_merge_min=3)
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("cat", "facet", stored=False),
+    ])
+    h = cat.create_index("uf", schema)
+    for i in range(6):  # crosses the auto-merge threshold
+        h.add_documents([{"body": f"x tok{i}", "cat": f"/top/{'ab'[i % 2]}"}])
+    assert len(h.manifest.segments) < 6
+    res = h.query_json({"query": {"term": {"body": "x"}}, "limit": 10,
+                        "facets": {"cat": ["/top"]}})
+    got = {f["term"]: f["count"] for f in res.facets}
+    assert got == {"/top/a": 3, "/top/b": 3}
+
+
+def test_facet_prefix_respects_path_components(tmp_path):
+    """Review r2: prefix '/top' must not match values under '/topics'."""
+    from rayfts.index.catalog import IndexCatalog
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    cat = IndexCatalog(str(tmp_path))
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("cat", "facet"),
+    ])
+    h = cat.create_index("pb", schema)
+    h.add_documents([
+        {"body": "x", "cat": "/top/a"},
+        {"body": "x", "cat": "/topics/news"},
+        {"body": "x", "cat": "/top"},
+    ])
+    res = h.query_json({"query": {"term": {"body": "x"}}, "limit": 10,
+                        "facets": {"cat": ["/top"]}})
+    got = {f["term"]: f["count"] for f in res.facets}
+    assert got == {"/top/a": 1, "/top": 1}
+
+
+def test_service_facets_keep_fields_separate(built, ray_session):
+    """Review r2: the distributed facet merge must key by field — equal
+    paths in different facet fields stay separate entries."""
+    from rayfts.query.serve import SearchService
+
+    svc = SearchService(built, num_actors=2)
+    local = Searcher(built)
+    try:
+        facets = {"lang": [""], "source": [""]}
+        assert svc.facet_counts("the", facets) == local.facet_counts("the", facets)
+    finally:
+        svc.shutdown()
