@@ -443,7 +443,10 @@ def minhash_dedup_pairs(
     concurrency: int | None = None,
     num_partitions: int | None = None,
     broadcast: bool | None = None,
-    broadcast_limit: int = 1_000_000,
+    # pair-count proxy for the broadcast payload: candidate blobs are
+    # roughly text-sized, so ~250k pairs keeps the transient driver-side
+    # blob map in the low hundreds of MB; beyond it the join plan runs
+    broadcast_limit: int = 250_000,
 ):
     """Full near-dup pipeline -> Dataset(id_a, id_b, jaccard):
 
@@ -743,6 +746,11 @@ def ngram_jaccard_pairs(
     the cap — the documented web-scale tradeoff, where a shingle shared
     by 10^5 docs would emit 10^10 pair rows; capped runs undercount
     intersections for pairs only co-occurring in ultra-common shingles.
+
+    Cost model: step 1 shuffles one row per (doc, unique shingle) — a
+    corpus-sized all-to-all, the price of EXACT global Jaccard. Use
+    :func:`minhash_dedup_pairs` as the cheap probabilistic screen and
+    this op when completeness is required (or on minhash survivors).
     """
 
     def explode(batch: pa.Table) -> pa.Table:
