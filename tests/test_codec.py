@@ -164,3 +164,30 @@ def test_fieldnorm_encode_decode_properties():
             assert table[i + 1] > n
 
     check()
+
+
+def test_decode_blocks_property_matches_full_decode():
+    """Property: decoding ANY subset of blocks equals slicing the full
+    decode (guards the one-gather segmented-cumsum rebase)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.codec.postings import (BLOCK_SIZE, decode_blocks,
+                                       decode_postings, encode_postings)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=1, max_value=1000), st.randoms(use_true_random=False))
+    def check(n, rnd):
+        docids = np.sort(np.array(rnd.sample(range(n * 4), n), dtype=np.uint32))
+        tfs = np.array([rnd.randint(1, 300) for _ in range(n)], dtype=np.uint32)
+        norms = np.array([rnd.randint(0, 255) for _ in range(n)], dtype=np.uint8)
+        blob = encode_postings(docids, tfs, norms)
+        full = decode_postings(blob)
+        assert (full.docids == docids).all() and (full.tfs == tfs).all()
+        nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        subset = sorted(rnd.sample(range(nblocks), rnd.randint(1, nblocks)))
+        d, t = decode_blocks(blob, np.array(subset))
+        want_d = np.concatenate([docids[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] for b in subset])
+        want_t = np.concatenate([tfs[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] for b in subset])
+        assert (d == want_d).all() and (t == want_t).all()
+
+    check()

@@ -398,3 +398,22 @@ def test_ivf_batch_search_matches_single(ray_session):
         got = [(r["vec_id"], r["cosine"]) for r in rows if r["query_id"] == qi]
         assert [v for v, _ in got] == [v for v, _ in want]
         assert all(abs(a - b) < 1e-5 for (_, a), (_, b) in zip(got, want))
+
+
+def test_dedup_pairs_partitioned_property(ray_session):
+    """Property: the hash-partitioned global pair dedup equals pandas
+    drop_duplicates for arbitrary duplicated pair sets."""
+    import pandas as pd
+
+    from rayfts.ops.dedup import dedup_pairs_partitioned
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 400)
+    b = rng.integers(50, 100, 400)
+    tbl = pa.table({"id_a": pa.array(a, type=pa.int64()),
+                    "id_b": pa.array(b, type=pa.int64())})
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 dedup_pairs_partitioned(ray.data.from_arrow(tbl)).take_all())
+    want = sorted(map(tuple, pd.DataFrame({"id_a": a, "id_b": b})
+                      .drop_duplicates().itertuples(index=False)))
+    assert got == want
