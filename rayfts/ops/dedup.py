@@ -1,9 +1,11 @@
 """Deduplication operators for web-scale corpora.
 
-- exact_dedup:   sha256 + per-batch combiner + native min-aggregate
-- minhash_lsh:   shingle -> minhash signature -> banded LSH buckets ->
-                 candidate pairs -> exact-Jaccard verification
-- simhash:       64-bit simhash + banded hamming-neighbor candidates
+- exact_dedup:    sha256 + per-batch combiner + native min-aggregate
+- minhash_lsh:    shingle -> minhash signature -> banded LSH buckets ->
+                  candidate pairs -> exact-Jaccard verification
+- simhash:        64-bit simhash + banded hamming-neighbor candidates
+- ngram_jaccard:  EXACT Jaccard via an inverted shingle index (full
+                  recall; the corpus-shuffle-priced complement to minhash)
 - embedding near-dup lives in rayfts.ops.ann (cosine threshold)
 
 Shapes are designed for the 100 TB case: every per-doc computation is a
