@@ -262,3 +262,48 @@ def test_service_facets_keep_fields_separate(built, ray_session):
         assert svc.facet_counts("the", facets) == local.facet_counts("the", facets)
     finally:
         svc.shutdown()
+
+
+def test_batch_search_rejects_bad_query_rows_only(built, ray_session):
+    """Expected per-query errors (bad query text) yield zero rows for that
+    query while the rest of the batch proceeds (unexpected errors would
+    propagate to Ray instead — ADVICE r1 policy)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayfts.query.serve import batch_search
+
+    qds = ray.data.from_arrow(pa.table({
+        "query": pa.array(["merge", "(unbalanced", "nosuchfield:x", "the"])
+    }))
+    rows = batch_search(qds, built, limit=5, concurrency=(1, 2)).take_all()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query"], 0)
+        per_query[r["query"]] += 1
+    assert per_query.get("merge", 0) > 0 and per_query.get("the", 0) > 0
+    assert "(unbalanced" not in per_query and "nosuchfield:x" not in per_query
+
+
+def test_log_merge_idempotent_after_partial_crash(ray_session, tmp_path):
+    """A crash between group merges and the manifest swap leaves committed
+    merged-segment dirs unreferenced; the rerun adopts them (tmp+rename
+    idempotence) and converges to the same manifest."""
+    from rayfts.index.merge import (log_merge_index, merge_segment_group,
+                                    plan_log_merge_groups)
+
+    path = str(tmp_path / "pc")
+    build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=8,
+                partition_mode="hash")
+    m = mf.read_manifest(path)
+    groups = plan_log_merge_groups(m.ordered_segments(), min_merge=4, max_merge=4)
+    assert groups
+    # simulate: first group's merge completed, then the driver died
+    merge_segment_group(path, m.schema.to_json(), groups[0])
+    before = Searcher(path)
+    want = [(h.score, h.doc_id) for h in before.top_k("merge", 10)]
+    m2 = log_merge_index(path, min_merge=4, max_merge=4)
+    after = Searcher(path)
+    assert [(h.score, h.doc_id) for h in after.top_k("merge", 10)] == want
+    assert m2.num_docs == 500
