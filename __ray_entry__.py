@@ -791,11 +791,16 @@ def _batch_search_sql(limit: int = 5) -> str:
 
 
 
-def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def _ngram_jaccard_sql(threshold: float = 0.5,
+                       max_shingle_df: int | None = 4096) -> str:
     """Exact n-gram Jaccard oracle: same md5/shingle machinery as the
     minhash oracle, but full pairwise over unique shingle sets — the
     engine's inverted-shingle-index pipeline finds exactly the pairs with
-    >=1 shared shingle and jaccard >= threshold."""
+    >=1 shared shingle and jaccard >= threshold. ``max_shingle_df``
+    mirrors the engine's stop-gram cap: shingles shared by more than the
+    cap contribute to NO intersection (each shingle's rows all land in
+    one partition, so the engine's per-run df equals global df), while
+    union sizes stay the full unique-set sizes."""
     from rayfts.ops.dedup import _POLY_BASE
 
     M = 1 << 64
@@ -820,12 +825,21 @@ shingles AS (
   FROM t
 ),
 uniqs AS (SELECT doc_id, list_distinct(sh) AS us FROM shingles),
+ex AS (SELECT doc_id, unnest(us) AS s FROM uniqs),
+sdf AS (SELECT s, count(*) AS c FROM ex GROUP BY s),
+kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN sdf USING (s)
+         WHERE sdf.c <= {max_shingle_df if max_shingle_df is not None else 'sdf.c'}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 jac AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    len(list_intersect(a.us, b.us)) AS inter,
-    len(a.us) + len(b.us) - len(list_intersect(a.us, b.us)) AS uni
-  FROM uniqs a JOIN uniqs b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.us, b.us)) >= 1
+  SELECT id_a, id_b, inter,
+    len(sa.us) + len(sb.us) - inter AS uni
+  FROM inter
+  JOIN uniqs sa ON sa.doc_id = id_a
+  JOIN uniqs sb ON sb.doc_id = id_b
 )
 SELECT id_a, id_b, round_even(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM jac WHERE CAST(inter AS DOUBLE) / uni >= {threshold} ORDER BY id_a, id_b

@@ -122,9 +122,22 @@ class Analyzer:
     Porter2 amortized O(1) per token on Zipfian vocabularies.
     """
 
-    def __init__(self, spec: AnalyzerSpec | str):
+    # Cap the per-instance stem cache: analyzers live as long as their Ray
+    # actor, and one entry per distinct surface token ever seen is a slow
+    # OOM on an unbounded stream. Clearing on overflow keeps the Zipf head
+    # warm (it re-fills within a batch); a call may overshoot the cap by at
+    # most one batch's unique tokens before the next entry check.
+    STEM_CACHE_CAP = 1_000_000
+
+    def __init__(self, spec: AnalyzerSpec | str, cache_cap: int | None = None):
         self.spec = get_spec(spec) if isinstance(spec, str) else spec
         self._stem_cache: dict[str, str] = {}
+        self._cache_cap = self.STEM_CACHE_CAP if cache_cap is None else cache_cap
+
+    def _stem_cache_checked(self) -> dict[str, str]:
+        if len(self._stem_cache) >= self._cache_cap:
+            self._stem_cache.clear()
+        return self._stem_cache
 
     def tokens(self, text: str) -> list[str]:
         """Analyzed tokens, position = list index (dropped tokens removed;
@@ -163,7 +176,7 @@ class Analyzer:
             raw = _raw_tokens(text)
         out_toks: list[str] = []
         out_pos: list[int] = []
-        cache = self._stem_cache
+        cache = self._stem_cache_checked()
         stemming = spec.stemmer is not None
         limit = spec.remove_long
         lowered = _lower_tokens(raw) if spec.lowercase else raw
@@ -203,7 +216,7 @@ class Analyzer:
                 return self.tokens_positions(text)
         toks = _lower_tokens(raw) if spec.lowercase else raw
         if spec.stemmer is not None:
-            cache = self._stem_cache
+            cache = self._stem_cache_checked()
             try:
                 toks = [cache[t] for t in toks]
             except KeyError:
@@ -265,7 +278,7 @@ class Analyzer:
             keep_u &= ulen_bytes < spec.remove_long
         vals = pc.utf8_lower(uniq).to_pylist() if spec.lowercase else uraw
         if spec.stemmer is not None:
-            cache = self._stem_cache
+            cache = self._stem_cache_checked()
             stem = porter2.stem
             out = []
             for keep, v in zip(keep_u, vals):

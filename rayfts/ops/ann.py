@@ -56,28 +56,41 @@ def brute_force_topk(
         qm = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch, col))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n, Q = m.shape[0], qm.shape[0]
+        if n == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
         sims = m @ qm.T  # (n, Q)
-        kk = min(k, m.shape[0])
-        out_q, out_id, out_s = [], [], []
-        for qi in range(qm.shape[0]):
-            s = sims[:, qi]
-            part = np.argpartition(-s, kk - 1)[:kk] if s.size > kk else np.arange(s.size)
-            for i in part:
-                out_q.append(qi)
-                out_id.append(int(ids[i]))
-                out_s.append(float(s[i]))
+        kk = min(k, n)
+        # one argpartition over the whole (n, Q) matrix, no per-query loop
+        if n > kk:
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        else:
+            idx = np.broadcast_to(np.arange(n)[:, None], (n, Q))
+        qidx = np.repeat(np.arange(Q), kk)
+        ridx = idx.T.ravel()
         return pa.table({
-            "query_id": pa.array(out_q, type=pa.int64()),
-            id_col: pa.array(out_id, type=pa.int64()),
-            "cosine": pa.array(out_s, type=pa.float64()),
+            "query_id": pa.array(qidx, type=pa.int64()),
+            id_col: pa.array(ids[ridx], type=pa.int64()),
+            "cosine": pa.array(sims[ridx, qidx], type=pa.float64()),
         })
 
     # tiny driver merge (k x Q x num_batches rows), fully vectorized:
     # one lexsort by (query, -cosine, id), then a per-query head-k mask
-    parts = pa.concat_tables(
-        list(ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"))
-    )
+    batches = list(ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"))
+    empty_out = pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+        id_col: pa.array([], type=pa.int64()),
+        "cosine": pa.array([], type=pa.float64()),
+    })
+    if not batches:
+        return empty_out  # empty input dataset produced no partials
+    parts = pa.concat_tables(batches)
+    if parts.num_rows == 0:
+        return empty_out
     qid = parts["query_id"].to_numpy(zero_copy_only=False)
     ids = parts[id_col].to_numpy(zero_copy_only=False)
     sims = parts["cosine"].to_numpy(zero_copy_only=False)
@@ -167,6 +180,21 @@ class IVFIndex:
         self.centroids = _fit_centroids(ds, col, id_col, self.n_clusters,
                                         sample_rows, self.seed)
         cent_ref = ray.put(self.centroids)
+        if spill_dir is None:
+            # A driver-local temp dir is only valid on a single node: on a
+            # multi-node cluster write_parquet tasks and search actors run
+            # on nodes where that path does not exist, and probes would
+            # silently miss clusters. Require an explicit (shared) path.
+            try:
+                alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+            except Exception:
+                alive = 1
+            if alive > 1:
+                raise ValueError(
+                    "IVFIndex.build: pass spill_dir on a shared filesystem "
+                    "when the Ray cluster has more than one node — the "
+                    "default local temp dir is not visible to other nodes"
+                )
         self.spill_dir = spill_dir or tempfile.mkdtemp(prefix="rayfts_ivf_")
         assigned = ds.map_batches(
             _make_assigner(cent_ref, col, id_col), batch_format="pyarrow"
@@ -178,14 +206,23 @@ class IVFIndex:
         if cl in self._cluster_vecs:
             return self._cluster_vecs[cl], self._cluster_ids[cl]
         if self.spill_dir is None:
-            return None
+            raise RuntimeError("IVFIndex: no spill_dir — call build() first")
         import glob as _glob
+        import os as _os
 
         import pyarrow.parquet as pq
 
+        if not _os.path.isdir(self.spill_dir):
+            # distinguish "cluster legitimately empty" from "store not
+            # reachable from this node" — the latter must not silently
+            # return partial/empty search results
+            raise FileNotFoundError(
+                f"IVF store {self.spill_dir!r} is not reachable from this "
+                f"node; build with a shared spill_dir"
+            )
         files = sorted(_glob.glob(f"{self.spill_dir}/cluster={cl}/*.parquet"))
         if not files:
-            return None
+            return None  # k-means assigned no vectors to this cluster
         t = pa.concat_tables([pq.read_table(f) for f in files])
         vecs = _normalize(_batch_matrix(t, self._col))
         ids = t[self._id_col].to_numpy(zero_copy_only=False)
@@ -196,17 +233,21 @@ class IVFIndex:
     def search(self, query_vec: np.ndarray, k: int = 10) -> list[tuple[int, float]]:
         q = _normalize(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
         order = np.argsort(-(self.centroids @ q))[: self.nprobe]
-        cands: list[tuple[float, int]] = []
+        id_parts: list[np.ndarray] = []
+        sim_parts: list[np.ndarray] = []
         for cl in order:
             loaded = self._load_cluster(int(cl))
             if loaded is None:
                 continue
             vecs, ids = loaded
-            sims = vecs @ q
-            for i, s in zip(ids, sims):
-                cands.append((float(s), int(i)))
-        cands.sort(key=lambda t: (-t[0], t[1]))
-        return [(i, s) for s, i in cands[:k]]
+            id_parts.append(np.asarray(ids, dtype=np.int64))
+            sim_parts.append(vecs @ q)
+        if not id_parts:
+            return []
+        ids = np.concatenate(id_parts)
+        sims = np.concatenate(sim_parts)
+        keep = np.lexsort((ids, -sims))[:k]  # (cosine desc, id asc)
+        return [(int(ids[i]), float(sims[i])) for i in keep]
 
 
 def cosine_near_dup_pairs(

@@ -187,8 +187,15 @@ class MinHashBands:
     signatures, FNV band folding. Permutation params built once per actor.
     """
 
+    # Per-actor token-hash cache cap: one entry per distinct surface token
+    # ever seen would be a slow OOM on a 100 TB stream with long-lived
+    # actors. Clear-on-overflow keeps the Zipf head permanently warm in
+    # practice (the head re-fills within one batch after a clear).
+    CACHE_CAP = 1_000_000
+
     def __init__(self, col: str = "text", id_col: str = "doc_id",
-                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
+                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
+                 cache_cap: int | None = None):
         assert num_perm % bands == 0
         self.col = col
         self.id_col = id_col
@@ -196,6 +203,7 @@ class MinHashBands:
         self.bands = bands
         self.a, self.b = _perm_params(num_perm, seed)
         self._uniq_cache: dict[str, np.ndarray] = {}
+        self._cache_cap = self.CACHE_CAP if cache_cap is None else cache_cap
 
     def _signatures(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         import pyarrow.compute as pc2
@@ -210,12 +218,17 @@ class MinHashBands:
         ind = denc.indices.to_numpy().astype(np.int64)
         uniq = denc.dictionary.to_pylist()
         cache = self._uniq_cache
+        cap = self._cache_cap
+        if len(cache) >= cap:
+            cache.clear()  # bounded per-actor memory (see CACHE_CAP)
         uh = np.empty(len(uniq), dtype=np.uint64)
         for i, t in enumerate(uniq):
             v = cache.get(t)
             if v is None:
-                v = cache[t] = int.from_bytes(
+                v = int.from_bytes(
                     hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                if len(cache) < cap:
+                    cache[t] = v
             uh[i] = v
         nonempty = np.array([len(t) > 0 for t in uniq], dtype=bool)
 
@@ -449,6 +462,11 @@ def minhash_dedup_pairs(
     # roughly text-sized, so ~250k pairs keeps the transient driver-side
     # blob map in the low hundreds of MB; beyond it the join plan runs
     broadcast_limit: int = 250_000,
+    # hard byte budget for the broadcast blob map: pair count alone does
+    # not bound blob size (250k pairs over very long documents can still
+    # exhaust the driver), so accumulation is metered and falls over to
+    # the partitioned-join plan mid-build if the budget is exceeded
+    broadcast_bytes_budget: int = 512 << 20,
 ):
     """Full near-dup pipeline -> Dataset(id_a, id_b, jaccard):
 
@@ -533,9 +551,19 @@ def minhash_dedup_pairs(
         cand_sh = ds.select_columns([id_col, col]).map_batches(
             pick_blobs, batch_format="pyarrow"
         )
-        blob_map: dict[int, bytes] = {}
+        blob_map: dict[int, bytes] | None = {}
+        blob_bytes = 0
         for b in cand_sh.iter_batches(batch_format="pyarrow"):
+            blob_bytes += int(b["__sh"].nbytes)
+            if blob_bytes > broadcast_bytes_budget:
+                # long documents blew the byte budget the pair count could
+                # not see — abandon broadcast, run the partitioned joins
+                blob_map = None
+                break
             blob_map.update(zip(b[id_col].to_pylist(), b["__sh"].to_pylist()))
+        broadcast = blob_map is not None
+
+    if broadcast:
         blobs_ref = ray.put(blob_map)
 
         def verify_bc(b: pa.Table) -> pa.Table:
@@ -727,8 +755,9 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 4096,
     num_parts: int = 64,
+    pair_tile: int = 4_000_000,
 ):
     """EXACT token-k-gram Jaccard near-dup -> Dataset(id_a, id_b, jaccard).
 
@@ -744,10 +773,16 @@ def ngram_jaccard_pairs(
     3. ``groupby`` on the pair partition: row count per pair IS the
        intersection size; jaccard = inter / (|A| + |B| - inter).
 
-    ``max_shingle_df`` (None = exact) skips stop-gram buckets bigger than
-    the cap — the documented web-scale tradeoff, where a shingle shared
-    by 10^5 docs would emit 10^10 pair rows; capped runs undercount
-    intersections for pairs only co-occurring in ultra-common shingles.
+    ``max_shingle_df`` (default 4096; None = exact) skips stop-gram runs
+    bigger than the cap — the documented web-scale tradeoff, where a
+    shingle shared by 10^5 docs would emit 10^10 pair rows in one task;
+    capped runs undercount intersections for pairs only co-occurring in
+    ultra-common shingles. The finite DEFAULT bounds the worst single-run
+    emission at ~cap^2/2 pairs (ADVICE r2: an uncapped stop-gram OOMs the
+    worker on exactly the web corpora this op targets); pass ``None``
+    only when exactness over a known-clean corpus is required.
+    ``pair_tile`` additionally tiles each run's pair emission so no
+    single allocation exceeds ~pair_tile rows.
 
     Cost model: step 1 shuffles one row per (doc, unique shingle) — a
     corpus-sized all-to-all, the price of EXACT global Jaccard. Use
@@ -790,9 +825,18 @@ def ngram_jaccard_pairs(
             if max_shingle_df is not None and e - s > max_shingle_df:
                 continue  # stop-gram: documented truncation
             run_ids, run_n = ids[s:e], nsh[s:e]
-            iu, ju = np.triu_indices(run_ids.size, k=1)
-            a_out.append(run_ids[iu]); b_out.append(run_ids[ju])
-            na_out.append(run_n[iu]); nb_out.append(run_n[ju])
+            m = run_ids.size
+            # tiled triu emission: rows i0..i1 against all j>i, so one
+            # allocation never exceeds ~pair_tile pair rows even for runs
+            # near the df cap
+            rows_per_tile = max(1, pair_tile // m)
+            for i0 in range(0, m - 1, rows_per_tile):
+                i1 = min(i0 + rows_per_tile, m - 1)
+                r, c = np.nonzero(
+                    np.arange(m)[None, :] > np.arange(i0, i1)[:, None])
+                iu, ju = r + i0, c
+                a_out.append(run_ids[iu]); b_out.append(run_ids[ju])
+                na_out.append(run_n[iu]); nb_out.append(run_n[ju])
         if not a_out:
             return empty
         a = np.concatenate(a_out); b = np.concatenate(b_out)

@@ -360,6 +360,16 @@ class Searcher:
         self, q: Query | str | dict, facets: dict[str, list[str]]
     ) -> list[dict]:
         """Standalone facet counting (one execute per segment)."""
+        by_field = self.facet_counts_by_field(q, facets)
+        return [row for field in facets for row in by_field[field]]
+
+    def facet_counts_by_field(
+        self, q: Query | str | dict, facets: dict[str, list[str]]
+    ) -> dict[str, list[dict]]:
+        """All requested facet fields in ONE query evaluation per segment
+        (the multi-collector contract — a request with F fields must not
+        cost F executions), keyed per field so cross-field equal paths
+        cannot collapse when summed by a caller."""
         query = self._resolve(q)
         stats = self.stats_for(query)
         acc: dict[str, dict[str, int]] = {}
@@ -367,11 +377,11 @@ class Searcher:
             docids, _ = self._execute(query, reader, stats)
             if docids.size:
                 self._accumulate_facets(reader, docids, facets, acc)
-        out: list[dict] = []
-        for field in facets:
-            for term, cnt in sorted(acc.get(field, {}).items()):
-                out.append({"term": term, "count": cnt})
-        return out
+        return {
+            field: [{"term": term, "count": cnt}
+                    for term, cnt in sorted(acc.get(field, {}).items())]
+            for field in facets
+        }
 
     def _accumulate_facets(
         self,

@@ -83,11 +83,9 @@ class QueryActor:
     def facet_counts(self, query, facets: dict) -> dict[str, list[dict]]:
         """Facet counts over THIS actor's segments, keyed per FIELD so the
         service-side sum cannot collapse equal paths from different
-        fields (summed service-side)."""
-        return {
-            field: self.searcher.facet_counts(query, {field: prefixes})
-            for field, prefixes in facets.items()
-        }
+        fields (summed service-side). ALL fields are accumulated in one
+        query evaluation per segment (single-pass multi-collector)."""
+        return self.searcher.facet_counts_by_field(query, facets)
 
     def fetch_docs(self, global_ids: list[int]) -> dict[int, dict]:
         out = {}

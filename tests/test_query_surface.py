@@ -380,3 +380,19 @@ def test_query_phrase_carries_position_gaps(tmp_path_factory):
     from rayfts.query.ast import Phrase
     d, _sc = s.matches(Phrase("body", ("alpha", "beta"), offsets=(0, 2)))
     assert d.tolist() == [0]
+
+
+def test_facet_counts_single_pass_multi_field(idx):
+    """ADVICE r2: F facet fields must cost ONE query evaluation per
+    segment, not F — facet_counts_by_field accumulates all fields from a
+    single execute per segment and facet_counts flattens it."""
+    s = idx.searcher()
+    nseg = len(s.readers)
+    s.execute_calls = 0
+    by_field = s.facet_counts_by_field(
+        {"term": {"body": "beta"}}, {"facet": ["/top"], "lang": [""]})
+    assert s.execute_calls == nseg
+    assert set(by_field) == {"facet", "lang"}
+    flat = s.facet_counts({"term": {"body": "beta"}},
+                          {"facet": ["/top"], "lang": [""]})
+    assert flat == by_field["facet"] + by_field["lang"]
