@@ -120,20 +120,19 @@ def _docid_table(searcher: Searcher, query) -> pa.Table:
 
 
 def _stored_doc_ids(searcher: Searcher, gids: np.ndarray) -> np.ndarray:
-    """Map internal global docids -> the stored doc_id column."""
-    out = np.empty(gids.size, dtype=np.int64)
-    lut = {}
-    for si, seg in enumerate(searcher.segments):
-        off = searcher.offsets[seg.segment_id]
-        lut[si] = (off, searcher.readers[si].fast_column("doc_id").astype(np.int64))
-    bounds = sorted((off, si) for si, (off, _c) in lut.items())
-    for i, g in enumerate(gids):
-        # segments are few; linear scan over offsets
-        for off, si in reversed(bounds):
-            if g >= off:
-                out[i] = lut[si][1][int(g - off)]
-                break
-    return out
+    """Map internal global docids -> the stored doc_id column, vectorized:
+    one concatenated per-segment doc_id array indexed at (gid - base)."""
+    gids = np.asarray(gids, dtype=np.int64)
+    offs = np.array([searcher.offsets[s.segment_id] for s in searcher.segments],
+                    dtype=np.int64)
+    order = np.argsort(offs)
+    cols = [searcher.readers[si].fast_column("doc_id").astype(np.int64)
+            for si in order]
+    sizes = np.array([c.size for c in cols], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    flat = np.concatenate(cols) if cols else np.empty(0, np.int64)
+    seg_of = np.searchsorted(offs[order], gids, side="right") - 1
+    return flat[starts[seg_of] + (gids - offs[order][seg_of])]
 
 
 def _topk_with_ids(searcher: Searcher, query, k: int = 10) -> pa.Table:

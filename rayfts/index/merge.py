@@ -397,6 +397,13 @@ def log_merge_index(
             _merge_group_task.remote(index_dir, schema_json, g) for g in groups
         ]
         merged_infos = [SegmentInfo.from_json(d) for d in ray.get(futs)]
+        if os.environ.get("RAYFTS_CRASH_BEFORE_MANIFEST_SWAP"):
+            # test hook (kill-and-resume coverage): die in the widest
+            # crash window — merged segment dirs committed via tmp+rename,
+            # manifest NOT yet swapped. A rerun must adopt them.
+            import signal
+
+            os.kill(os.getpid(), signal.SIGKILL)
         merged_ids = {sid for g in groups for sid in g}
         keep = [s for s in manifest.segments if s.segment_id not in merged_ids]
         manifest = mf.Manifest(

