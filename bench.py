@@ -139,21 +139,50 @@ def bench_serve_pool(index_dir: str) -> float:
     return dt
 
 
+def _bench_query_strings(n_queries: int) -> list[str]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = ["match", "struct", "return", "impl", "enum", "static", "the",
+            "switch case", "+return -void", "ident42"]
+    return [base[i % len(base)] + (f" ident{int(x)}" if i % 3 == 0 else "")
+            for i, x in enumerate(rng.integers(0, 20000, n_queries))]
+
+
+def bench_sharded_serve(index_dir: str, n_queries: int = 2000,
+                        num_actors: int = 8, chunk: int = 250) -> float:
+    """Segment-sharded serving (VERDICT r2 #5): the UNMERGED many-segment
+    index split across a SearchService actor pool, the 2000-query set
+    pushed through the batched two-fan-out ``search_many`` path in
+    driver-side chunks. Returns queries/sec — compare against the merged
+    single-searcher ``batch_search`` QPS to quantify when sharded serving
+    wins (many small segments, no compaction budget)."""
+    from rayfts.query.serve import SearchService
+
+    qs = _bench_query_strings(n_queries)
+    pool = SearchService(index_dir, num_actors=num_actors)
+    pool.search_many(qs[:8], limit=10)  # warm per-actor caches
+    t0 = time.time()
+    n_hits = 0
+    for i in range(0, len(qs), chunk):
+        for hits in pool.search_many(qs[i : i + chunk], limit=10):
+            n_hits += len(hits)
+    dt = time.time() - t0
+    pool.shutdown()
+    assert n_hits > 0
+    return n_queries / dt
+
+
 def bench_batch_qps(index_dir: str, n_queries: int = 2000) -> float:
     """Bulk-serving throughput: n synthetic queries through the
     BatchSearchStage actor pool; returns queries/sec."""
-    import numpy as np
     import pyarrow as pa
 
     import ray.data
 
     from rayfts.query.serve import batch_search
 
-    rng = np.random.default_rng(7)
-    base = ["match", "struct", "return", "impl", "enum", "static", "the",
-            "switch case", "+return -void", "ident42"]
-    qs = [base[i % len(base)] + (f" ident{int(x)}" if i % 3 == 0 else "")
-          for i, x in enumerate(rng.integers(0, 20000, n_queries))]
+    qs = _bench_query_strings(n_queries)
     qds = ray.data.from_arrow(pa.table({"query": pa.array(qs)}))
     t0 = time.time()
     n_rows = batch_search(qds, index_dir, limit=10).count()
@@ -219,6 +248,12 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     for q, t in qtimes.items():
         queries[f"q:{q}"] = round(t, 5)
 
+    # sharded serving over the UNMERGED many-segment index (the shape when
+    # there is no compaction budget): SearchService with 8 actors, each
+    # owning a contiguous segment slice, batched search_many
+    sharded_qps = bench_sharded_serve(idx, num_actors=8)
+    queries["sharded_search_2000q"] = round(2000.0 / sharded_qps, 3)
+
     # serve from a compacted index: a 64-tiny-segment build taxes every
     # query with per-segment overhead; LogMergePolicy-like compaction is
     # what a real deployment runs before serving
@@ -261,6 +296,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_num_docs": ndocs,
         "build_stage_metrics": stage_metrics,
         "serve_queries_per_sec": round(qps, 1),
+        "sharded_serve_queries_per_sec": round(sharded_qps, 1),
     }
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(docs_idx, ignore_errors=True)
@@ -375,6 +411,90 @@ def _record_scaling(out: dict) -> None:
         f.write(text)
 
 
+def _reducer_histogram(sizes: list[int]) -> dict:
+    import numpy as np
+
+    a = np.asarray(sorted(sizes), dtype=np.float64)
+    return {
+        "reducers": int(a.size),
+        "rows_total": int(a.sum()),
+        "rows_max": int(a.max()),
+        "rows_median": float(np.median(a)),
+        "max_over_median": round(float(a.max() / max(np.median(a), 1.0)), 3),
+    }
+
+
+def _term_shuffle_reducer_sizes(files, salt_buckets: int, num_reducers: int = 32) -> dict:
+    """Measured rows per term-stats reducer (the SURVEY §4 skew claim):
+    re-runs the pipeline's own partials+tag stages (same deterministic
+    hash) and counts rows per partition key — the true reducer inputs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from rayfts.ops.termstats import TokenizePartials
+
+    ds = ray.data.read_parquet(files)
+    partials = ds.map_batches(
+        TokenizePartials,
+        fn_constructor_kwargs={"col": "content", "analyzer": "en_stem",
+                               "salt_buckets": salt_buckets},
+        batch_format="pyarrow", batch_size=8192, concurrency=(1, 8),
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b["term"].to_numpy(zero_copy_only=False))
+        if salt_buckets > 1:
+            h = h + b["salt"].to_numpy().astype(np.uint64)
+        return pa.table({"part": pa.array((h % num_reducers).astype(np.int32))})
+
+    counts = partials.map_batches(tag, batch_format="pyarrow").groupby("part").count()
+    sizes = [r["count()"] for r in counts.take_all()]
+    return _reducer_histogram(sizes)
+
+
+def _ngram_shuffle_stats(files, num_docs_subset: int, cap: int | None) -> dict:
+    """Shingle-partition reducer inputs + emitted candidate pairs for
+    ngram_jaccard over a stop-gram-heavy corpus: the reducer INPUT is
+    level by uniform shingle hashing regardless of skew; the cap bounds
+    the pair-emission burst a stop-gram would otherwise produce."""
+    import ray.data
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayfts.ops.dedup import ngram_jaccard_pairs, shingle_hashes
+
+    def add_id(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b["commit"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "bench_id", pa.array((h >> np.uint64(1)).astype(np.int64)))
+
+    ds = (ray.data.read_parquet(files).limit(num_docs_subset)
+          .map_batches(add_id, batch_format="pyarrow").materialize())
+    # reducer input sizes: rows per __sp partition out of the explode stage
+
+    def explode_parts(batch: pa.Table) -> pa.Table:
+        sh = [shingle_hashes(t or "", 3) for t in batch["content"].to_pylist()]
+        allsh = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        return pa.table({"part": pa.array((allsh % np.uint64(64)).astype(np.int32))})
+
+    counts = (ds.map_batches(explode_parts, batch_format="pyarrow")
+              .groupby("part").count())
+    hist = _reducer_histogram([r["count()"] for r in counts.take_all()])
+    t0 = time.time()
+    n_pairs = ngram_jaccard_pairs(
+        ds, col="content", id_col="bench_id", threshold=0.01,
+        max_shingle_df=cap,
+    ).count()
+    hist["pairs_emitted"] = int(n_pairs)
+    hist["wall_sec"] = round(time.time() - t0, 3)
+    return hist
+
+
 def run_skew(num_docs: int) -> dict:
     """Stop-word-heavy variant (30% of all tokens are 'the'): the build is
     doc-partitioned (zero-shuffle) so it must be skew-immune, and the
@@ -404,6 +524,7 @@ def run_skew(num_docs: int) -> dict:
                 _code_schema(), index_name="warm", content_col="content",
                 key_cols=["repo", "path", "commit"], resume=False)
     shutil.rmtree(widx, ignore_errors=True)
+    files_by_label: dict[str, list] = {}
     for label, skew in (("uniform", False), ("skew", True)):
         corpus = generate_corpus(
             os.path.join(BENCH_ROOT, f"corpus-{label}-{num_docs}"),
@@ -424,12 +545,27 @@ def run_skew(num_docs: int) -> dict:
         top_terms(ray.data.read_parquet(files), n=10, col="content",
                   analyzer="en_stem", salt_buckets=8)
         out[f"term_shuffle_{label}_sec"] = round(time.time() - t0, 3)
+        files_by_label[label] = files
+
+    # measured reducer-size evidence (SURVEY §4 / VERDICT r2 #3): the wide
+    # edges must stay level under a 30%-stop-word corpus
+    hist: dict[str, dict] = {}
+    for label, files in files_by_label.items():
+        for salt in (1, 8):
+            hist[f"term_shuffle_{label}_salt{salt}"] = (
+                _term_shuffle_reducer_sizes(files, salt))
+    ngram_subset = int(os.environ.get("RAYFTS_SKEW_NGRAM_DOCS", "3000"))
+    hist["ngram_skew_capped2048"] = _ngram_shuffle_stats(
+        files_by_label["skew"], ngram_subset, 2048)
+    hist["ngram_skew_uncapped"] = _ngram_shuffle_stats(
+        files_by_label["skew"], ngram_subset, None)
     ray.shutdown()
     return {
         "metric": "skew immunity (stop-word-heavy vs uniform corpus)",
         "value": round(out["build_skew_sec"] / out["build_uniform_sec"], 3),
         "unit": "slowdown_ratio",
         "queries": out,
+        "reducer_histograms": hist,
         "sf": f"synthetic code corpus, {num_docs} docs, 30% 'the' in skew variant",
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
     }
