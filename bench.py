@@ -225,6 +225,27 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def vm_calibration() -> float:
+    """Single-proc numpy burn (5x lexsort+cumsum over 2M int64) — the
+    BASELINE.md reference op. Recorded in every bench JSON so numbers are
+    normalizable across rounds on this shared, noisy VM (measured 2x
+    whole-box slowdowns between rounds with identical code). Best-of-3;
+    r2's documented value for this op is 1.75 s."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 10**9, 2_000_000).astype(np.int64)
+    y = rng.integers(0, 10**9, 2_000_000).astype(np.int64)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(5):
+            o = np.lexsort((y, x))
+            np.cumsum(x[o])
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def run_default(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -297,6 +318,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_stage_metrics": stage_metrics,
         "serve_queries_per_sec": round(qps, 1),
         "sharded_serve_queries_per_sec": round(sharded_qps, 1),
+        "vm_burn_1proc_sec": vm_calibration(),
     }
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(docs_idx, ignore_errors=True)

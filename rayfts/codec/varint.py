@@ -94,9 +94,17 @@ def decode_varints(buf: bytes | np.ndarray, count: int | None = None) -> np.ndar
     vals = np.zeros(n, dtype=np.uint64)
     width = ends - starts + 1
     payload = (b & 0x7F).astype(np.uint64)
-    for j in range(int(width.max())):
-        mask = width > j
-        vals[mask] |= payload[starts[mask] + j] << np.uint64(7 * j)
+    # value-chunked width loop (see _CHUNK): per-chunk passes are bounded
+    # by the CHUNK's max width and stay cache-resident; a chunk of all
+    # 1-byte values pays a single gather
+    for c0 in range(0, n, _CHUNK):
+        c1 = min(c0 + _CHUNK, n)
+        w = width[c0:c1]
+        s = starts[c0:c1]
+        v = vals[c0:c1]
+        for j in range(int(w.max())):
+            mask = w > j
+            v[mask] |= payload[s[mask] + j] << np.uint64(7 * j)
     if count is not None and n != count:
         raise ValueError(f"decoded {n} varints, expected {count}")
     return vals
