@@ -511,3 +511,60 @@ def test_ngram_jaccard_df_cap_binds(ray_session):
     uncapped = ngram_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.1,
                                    max_shingle_df=None).take_all()
     assert len(uncapped) > len(got)
+
+
+def test_assemble_bucket_property_random_fragments(ray_session, tmp_path):
+    """Property: the vectorized bucket reducer equals a naive per-term
+    reference on random fragment tables (random term counts, df spread,
+    fragment splits, duplicate (term, docid) pairs across fragments)."""
+    from rayfts.codec.varint import decode_varints
+    from rayfts.ops.postings_export import _assemble_bucket
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        nterms = int(rng.integers(1, 40))
+        frag_terms, frag_docs, frag_tfs, frag_min = [], [], [], []
+        expect = {}
+        for t in range(nterms):
+            term = f"term{rng.integers(0, 30):03d}"  # collisions merge terms
+            df = int(rng.integers(1, 50))
+            docs = np.sort(rng.choice(10_000, size=df, replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 9, size=df).astype(np.int64)
+            expect.setdefault(term, set()).update(docs.tolist())
+            # split into random fragments
+            cuts = np.sort(rng.choice(np.arange(1, df), size=min(3, df - 1),
+                                      replace=False)) if df > 1 else np.array([], int)
+            for piece_d, piece_f in zip(np.split(docs, cuts), np.split(tfs, cuts)):
+                frag_terms.append(term)
+                frag_docs.append(piece_d)
+                frag_tfs.append(piece_f)
+                frag_min.append(int(piece_d[0]))
+        group = pa.table({
+            "term": pa.array(frag_terms, type=pa.string()),
+            "min_docid": pa.array(frag_min, type=pa.int64()),
+            "docids": pa.array([d.tolist() for d in frag_docs], type=pa.list_(pa.int64())),
+            "tfs": pa.array([f.tolist() for f in frag_tfs], type=pa.list_(pa.int64())),
+            "part": pa.array([trial] * len(frag_terms), type=pa.int32()),
+        })
+        out_dir = str(tmp_path / f"t{trial}")
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        summary = _assemble_bucket(group, out_dir)
+        assert summary["terms"][0].as_py() == len(expect)
+        got = pq.read_table(os.path.join(out_dir, f"bucket={trial:04d}.parquet"))
+        assert got["term"].to_pylist() == sorted(expect)
+        for i, term in enumerate(got["term"].to_pylist()):
+            deltas = decode_varints(got["docids_blob"][i].as_py())
+            docids = np.cumsum(deltas.astype(np.int64))
+            tfs = decode_varints(got["tfs_blob"][i].as_py()).astype(np.int64) + 1
+            # duplicates (same term+doc from >1 source term collision) stay
+            # as separate postings, both in reducer and reference
+            ref_docs = []
+            for t2, d2, f2 in zip(frag_terms, frag_docs, frag_tfs):
+                if t2 == term:
+                    ref_docs.extend(zip(d2.tolist(), f2.tolist()))
+            ref_docs.sort(key=lambda x: x[0])
+            assert docids.tolist() == [d for d, _ in ref_docs]
+            assert int(got["df"][i].as_py()) == len(ref_docs)
+            assert int(got["cf"][i].as_py()) == sum(f for _, f in ref_docs)
+            assert sorted(tfs.tolist()) == sorted(f for _, f in ref_docs)
