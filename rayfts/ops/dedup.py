@@ -179,13 +179,12 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return prod.min(axis=1)
 
 
-class MinHashBands:
-    """Actor-pool stage: (docs) -> (band_id, band_hash, doc_id) LSH rows.
-
-    Fully vectorized per batch: Arrow RE2 tokenization, per-UNIQUE-token
-    md5, rolling polynomial shingles, per-permutation ``minimum.reduceat``
-    signatures, FNV band folding. Permutation params built once per actor.
-    """
+class _ShingleStage:
+    """Shared vectorized shingle machinery for the actor-pool dedup
+    stages: Arrow RE2 tokenization, per-UNIQUE-token md5 (bounded cache),
+    one global sliding-window rolling hash over the doc-major token
+    stream. Per-doc output equals :func:`shingle_hashes` modulo
+    uniqueness (property-tested)."""
 
     # Per-actor token-hash cache cap: one entry per distinct surface token
     # ever seen would be a slow OOM on a 100 TB stream with long-lived
@@ -193,19 +192,17 @@ class MinHashBands:
     # practice (the head re-fills within one batch after a clear).
     CACHE_CAP = 1_000_000
 
-    def __init__(self, col: str = "text", id_col: str = "doc_id",
-                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
-                 cache_cap: int | None = None):
-        assert num_perm % bands == 0
-        self.col = col
-        self.id_col = id_col
+    def __init__(self, k: int = 3, cache_cap: int | None = None):
         self.k = k
-        self.bands = bands
-        self.a, self.b = _perm_params(num_perm, seed)
-        self._uniq_cache: dict[str, np.ndarray] = {}
+        self._uniq_cache: dict[str, int] = {}
         self._cache_cap = self.CACHE_CAP if cache_cap is None else cache_cap
 
-    def _signatures(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    def _shingle_stream(
+        self, texts: pa.ChunkedArray | pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(sh, sh_doc, n_docs): every k-window rolling hash with its doc
+        index, doc-major sorted; docs with no tokens contribute nothing;
+        docs shorter than k hash as one whole-doc window."""
         import pyarrow.compute as pc2
 
         arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
@@ -236,12 +233,8 @@ class MinHashBands:
         keep = nonempty[ind]
         doc_all = np.repeat(np.arange(n, dtype=np.int64), counts)
         tok_h, doc_idx = tok_h[keep], doc_all[keep]
-
-        P = self.a.size
-        MAX = np.iinfo(np.uint64).max
-        sig = np.full((n, P), MAX, dtype=np.uint64)
         if tok_h.size == 0:
-            return sig
+            return np.empty(0, np.uint64), np.empty(0, np.int64), n
         tok_counts = np.bincount(doc_idx, minlength=n)
         # windows that stay inside one doc: ONE global sliding window over
         # the doc-major token stream + a validity mask (window start's doc
@@ -275,8 +268,50 @@ class MinHashBands:
             shdoc_parts.append(docs_l)
         sh = np.concatenate(sh_parts)
         sh_doc = np.concatenate(shdoc_parts)
-        order = np.argsort(sh_doc, kind="stable")  # reduceat needs doc-major
-        sh, sh_doc = sh[order], sh_doc[order]
+        order = np.argsort(sh_doc, kind="stable")  # doc-major
+        return sh[order], sh_doc[order], n
+
+    def _unique_shingles(
+        self, texts: pa.ChunkedArray | pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(uniq_sh, counts_per_doc, n_docs): per-doc UNIQUE shingle
+        hashes (doc-major, ascending within doc) — equals
+        ``shingle_hashes(text, k)`` per doc."""
+        sh, sh_doc, n = self._shingle_stream(texts)
+        if sh.size == 0:
+            return sh, np.zeros(n, np.int64), n
+        order = np.lexsort((sh, sh_doc))
+        s, d = sh[order], sh_doc[order]
+        keep = np.concatenate([[True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        s, d = s[keep], d[keep]
+        return s, np.bincount(d, minlength=n).astype(np.int64), n
+
+
+class MinHashBands(_ShingleStage):
+    """Actor-pool stage: (docs) -> (band_id, band_hash, doc_id) LSH rows.
+
+    Fully vectorized per batch: Arrow RE2 tokenization, per-UNIQUE-token
+    md5, rolling polynomial shingles, per-permutation ``minimum.reduceat``
+    signatures, FNV band folding. Permutation params built once per actor.
+    """
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42,
+                 cache_cap: int | None = None):
+        assert num_perm % bands == 0
+        super().__init__(k=k, cache_cap=cache_cap)
+        self.col = col
+        self.id_col = id_col
+        self.bands = bands
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def _signatures(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        sh, sh_doc, n = self._shingle_stream(texts)
+        P = self.a.size
+        MAX = np.iinfo(np.uint64).max
+        sig = np.full((n, P), MAX, dtype=np.uint64)
+        if sh.size == 0:
+            return sig
         run_starts = np.flatnonzero(np.concatenate([[True], sh_doc[1:] != sh_doc[:-1]]))
         run_docs = sh_doc[run_starts]
         with np.errstate(over="ignore"):
@@ -304,6 +339,31 @@ class MinHashBands:
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array((bh >> np.uint64(1)).astype(np.int64).ravel()),
             self.id_col: pa.array(np.repeat(ids, bands)),
+        })
+
+
+class ShingleExplode(_ShingleStage):
+    """Actor-pool stage for the exact-Jaccard inverted shingle index:
+    (docs) -> one row per (doc, UNIQUE shingle) carrying the doc's full
+    set size (``nsh``) and a uniform shingle partition key (``__sp``).
+    Per-doc shingle sets equal :func:`shingle_hashes` (property-tested);
+    the whole batch is one vectorized pass — no per-row Python."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id", k: int = 3,
+                 num_parts: int = 64, cache_cap: int | None = None):
+        super().__init__(k=k, cache_cap=cache_cap)
+        self.col = col
+        self.id_col = id_col
+        self.num_parts = num_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s, counts, _n = self._unique_shingles(batch[self.col])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "sh": pa.array(s.astype(np.int64)),
+            self.id_col: pa.array(np.repeat(ids, counts), type=pa.int64()),
+            "nsh": pa.array(np.repeat(counts, counts), type=pa.int64()),
+            "__sp": pa.array((s % np.uint64(self.num_parts)).astype(np.int32)),
         })
 
 
@@ -758,6 +818,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = 4096,
     num_parts: int = 64,
     pair_tile: int = 4_000_000,
+    concurrency: int | tuple | None = None,
 ):
     """EXACT token-k-gram Jaccard near-dup -> Dataset(id_a, id_b, jaccard).
 
@@ -784,26 +845,15 @@ def ngram_jaccard_pairs(
     ``pair_tile`` additionally tiles each run's pair emission so no
     single allocation exceeds ~pair_tile rows.
 
+    The explode stage is a ``ShingleExplode`` actor pool (vectorized
+    Arrow tokenization + global sliding-window shingles, same machinery
+    as MinHashBands) — not a per-row Python loop.
+
     Cost model: step 1 shuffles one row per (doc, unique shingle) — a
     corpus-sized all-to-all, the price of EXACT global Jaccard. Use
     :func:`minhash_dedup_pairs` as the cheap probabilistic screen and
     this op when completeness is required (or on minhash survivors).
     """
-
-    def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[col].to_pylist()
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh_list = [shingle_hashes("" if t is None else t, k) for t in texts]
-        counts = np.fromiter((s.size for s in sh_list), dtype=np.int64,
-                             count=len(sh_list))
-        sh = (np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64))
-        part = (sh % np.uint64(num_parts)).astype(np.int32)
-        return pa.table({
-            "sh": pa.array(sh.astype(np.int64)),
-            id_col: pa.array(np.repeat(ids, counts), type=pa.int64()),
-            "nsh": pa.array(np.repeat(counts, counts), type=pa.int64()),
-            "__sp": pa.array(part),
-        })
 
     def shingle_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.int64()),
@@ -875,8 +925,19 @@ def ngram_jaccard_pairs(
             "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
         })
 
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        concurrency = (1, max(2, cpus))
     return (
-        ds.map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(
+            ShingleExplode,
+            fn_constructor_kwargs={"col": col, "id_col": id_col, "k": k,
+                                   "num_parts": num_parts},
+            batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+        )
         .groupby("__sp")
         .map_groups(shingle_pairs, batch_format="pyarrow")
         .groupby("__pp")

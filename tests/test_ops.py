@@ -568,3 +568,29 @@ def test_assemble_bucket_property_random_fragments(ray_session, tmp_path):
             assert int(got["df"][i].as_py()) == len(ref_docs)
             assert int(got["cf"][i].as_py()) == sum(f for _, f in ref_docs)
             assert sorted(tfs.tolist()) == sorted(f for _, f in ref_docs)
+
+
+def test_shingle_explode_matches_shingle_hashes():
+    """The vectorized ShingleExplode per-doc unique shingle sets equal the
+    scalar shingle_hashes() reference, including edge cases (None, empty,
+    separators-only, <k tokens, unicode, case-folding, duplicates)."""
+    from rayfts.ops.dedup import ShingleExplode, shingle_hashes
+
+    texts = [
+        None, "", "!!! --- ;;", "one", "one two", "one two three four",
+        "The THE the tHe", "héllo wörld naïve café résumé again",
+        "a b a b a b a b", "x1 y2 z3 x1 y2 z3", "word " * 50,
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    stage = ShingleExplode(k=3)
+    out = stage(batch)
+    got: dict[int, list[int]] = {i: [] for i in range(len(texts))}
+    for r in out.to_pylist():
+        got[r["doc_id"]].append(r["sh"])
+        assert r["nsh"] == len(shingle_hashes(texts[r["doc_id"]] or "", 3))
+    for i, t in enumerate(texts):
+        want = np.sort(shingle_hashes(t or "", 3)).astype(np.int64).tolist()
+        assert sorted(got[i]) == sorted(want), (i, t)
