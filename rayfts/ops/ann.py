@@ -200,7 +200,40 @@ class IVFIndex:
             _make_assigner(cent_ref, col, id_col), batch_format="pyarrow"
         )
         assigned.write_parquet(self.spill_dir, partition_cols=["cluster"])
+        self._save_meta()
         return self
+
+    def _save_meta(self) -> None:
+        """Persist centroids + params next to the cluster partitions: the
+        spilled store IS the index, loadable by any process/node via
+        :meth:`load` (tmp+rename atomic)."""
+        import json
+        import os
+
+        np.save(os.path.join(self.spill_dir, "_centroids.npy"), self.centroids)
+        tmp = os.path.join(self.spill_dir, "._ivf_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_clusters": int(self.n_clusters),
+                       "nprobe": int(self.nprobe), "seed": int(self.seed),
+                       "col": self._col, "id_col": self._id_col}, f)
+        os.replace(tmp, os.path.join(self.spill_dir, "_ivf_meta.json"))
+
+    @classmethod
+    def load(cls, spill_dir: str, nprobe: int | None = None) -> "IVFIndex":
+        """Open a persisted IVF store (built by :meth:`build`, possibly by
+        another process or on another node of a shared filesystem)."""
+        import json
+        import os
+
+        with open(os.path.join(spill_dir, "_ivf_meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(n_clusters=meta["n_clusters"],
+                  nprobe=meta["nprobe"] if nprobe is None else nprobe,
+                  seed=meta["seed"])
+        idx.centroids = np.load(os.path.join(spill_dir, "_centroids.npy"))
+        idx.spill_dir = spill_dir
+        idx._col, idx._id_col = meta["col"], meta["id_col"]
+        return idx
 
     def _load_cluster(self, cl: int) -> tuple[np.ndarray, np.ndarray] | None:
         if cl in self._cluster_vecs:

@@ -594,3 +594,61 @@ def test_shingle_explode_matches_shingle_hashes():
     for i, t in enumerate(texts):
         want = np.sort(shingle_hashes(t or "", 3)).astype(np.int64).tolist()
         assert sorted(got[i]) == sorted(want), (i, t)
+
+
+def test_ivf_store_persist_and_load(ray_session, tmp_path):
+    """The spilled store IS the index: a second process (simulated by a
+    fresh IVFIndex.load) opens the cluster partitions + persisted
+    centroids and searches identically."""
+    from rayfts.ops.ann import IVFIndex
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(emb["embedding"][5].as_py())
+    store = str(tmp_path / "ivfstore")
+    built = IVFIndex(n_clusters=8, nprobe=3).build(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), spill_dir=store)
+    opened = IVFIndex.load(store)
+    assert opened.nprobe == 3 and opened.n_clusters == 8
+    assert built.search(q, k=10) == opened.search(q, k=10)
+    wider = IVFIndex.load(store, nprobe=8)
+    assert len(wider.search(q, k=10)) == 10
+
+
+def test_cli_ann_and_minhash_roundtrip(ray_session, tmp_path):
+    """CLI smoke for the round-3 subcommands: ann-build -> ann-search and
+    dedup-minhash, in-process against the test Ray session."""
+    from rayfts.cli import main as cli_main
+    from rayfts.ops.ann import IVFIndex, ivf_batch_search
+
+    store = str(tmp_path / "store")
+    rc = cli_main(["ann-build", "--input", f"{SF}/embeddings.parquet",
+                   "--store", store, "--clusters", "8", "--nprobe", "3"])
+    assert rc == 0
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    qtbl = pa.table({
+        "query_id": pa.array([0, 1], type=pa.int64()),
+        "query": pa.array([emb["embedding"][2].as_py(),
+                           emb["embedding"][9].as_py()]),
+    })
+    qfile = str(tmp_path / "queries.parquet")
+    pq.write_table(qtbl, qfile)
+    out = str(tmp_path / "topk")
+    rc = cli_main(["ann-search", "--store", store, "--queries", qfile,
+                   "--k", "5", "--out", out])
+    assert rc == 0
+    got = pq.read_table(out)
+    want = ivf_batch_search(ray.data.from_arrow(qtbl), IVFIndex.load(store),
+                            k=5, concurrency=(2, 2))
+    want_rows = sorted((r["query_id"], r["rank"], r["vec_id"])
+                       for r in want.take_all())
+    got_rows = sorted(zip(got["query_id"].to_pylist(), got["rank"].to_pylist(),
+                          got["vec_id"].to_pylist()))
+    assert got_rows == want_rows and len(got_rows) == 10
+
+    mh_out = str(tmp_path / "pairs")
+    rc = cli_main(["dedup-minhash", "--input", f"{SF}/documents.parquet",
+                   "--col", "text", "--id-col", "doc_id",
+                   "--threshold", "0.5", "--out", mh_out])
+    assert rc == 0
+    pairs = pq.read_table(mh_out)
+    assert set(pairs.column_names) == {"id_a", "id_b", "jaccard"}
