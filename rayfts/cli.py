@@ -261,9 +261,12 @@ def cmd_postings_export(args) -> int:
     summary = build_term_postings(
         ray.data.read_parquet(paths), args.out, col=args.col,
         id_col=args.id_col, analyzer=args.analyzer, num_buckets=args.buckets,
+        resume=args.resume,
     )
+    terms = summary["terms"].to_pylist()  # -1 marks a resumed bucket
     print(json.dumps({"out": args.out, "buckets": summary.num_rows,
-                      "terms": int(sum(summary["terms"].to_pylist()))}))
+                      "terms_built": int(sum(t for t in terms if t >= 0)),
+                      "buckets_resumed": sum(1 for t in terms if t < 0)}))
     return 0
 
 
@@ -390,6 +393,8 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--analyzer", default="en_stem")
     pe.add_argument("--buckets", type=int, default=32)
     pe.add_argument("--out", required=True)
+    pe.add_argument("--resume", action="store_true",
+                    help="skip buckets whose (atomic) files already exist")
     pe.set_defaults(fn=cmd_postings_export)
 
     i = sub.add_parser("info", help="print manifest (segments, lineage, metrics)")

@@ -182,16 +182,42 @@ def build_term_postings(
     analyzer: str = "en_stem",
     num_buckets: int = 32,
     concurrency=None,
+    resume: bool = False,
 ):
-    """Run the term-shuffle pipeline; returns the bucket summary table."""
+    """Run the term-shuffle pipeline; returns the bucket summary table.
+
+    ``resume=True``: bucket files are tmp+rename-atomic, so an existing
+    ``bucket=NNNN.parquet`` is a complete checkpoint — its fragments are
+    dropped BEFORE the shuffle (a failed 10-hour run redoes only the
+    missing buckets, and the skipped buckets' rows never cross the wide
+    edge). The recorded ``_meta.json`` must match the requested params.
+    """
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    import glob as _glob
     import json
 
-    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
-        json.dump({"num_buckets": num_buckets, "col": col,
-                   "id_col": id_col, "analyzer": analyzer}, f)
+    meta = {"num_buckets": num_buckets, "col": col,
+            "id_col": id_col, "analyzer": analyzer}
+    meta_path = os.path.join(out_dir, "_meta.json")
+    done: set[int] = set()
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"resume=True but {meta_path} params {prev} differ from "
+                f"requested {meta}; use a fresh out_dir or matching params"
+            )
+        done = {
+            int(os.path.basename(p)[len("bucket="):-len(".parquet")])
+            for p in _glob.glob(os.path.join(out_dir, "bucket=*.parquet"))
+        }
+    tmp_meta = meta_path + ".tmp"
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, meta_path)
     if concurrency is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -208,16 +234,21 @@ def build_term_postings(
 
     def tag(b: pa.Table) -> pa.Table:
         h = pd.util.hash_array(b["term"].to_numpy(zero_copy_only=False))
-        return b.append_column(
-            "part", pa.array((h % num_buckets).astype(np.int32))
-        )
+        part = (h % num_buckets).astype(np.int32)
+        b = b.append_column("part", pa.array(part))
+        if done:
+            # resume: completed buckets' fragments never cross the shuffle
+            b = b.filter(pa.array(~np.isin(part, np.fromiter(done, np.int32))))
+        return b
 
     summary = (
         frags.map_batches(tag, batch_format="pyarrow")
         .groupby("part")
         .map_groups(lambda g: _assemble_bucket(g, out_dir), batch_format="pyarrow")
     )
-    return pa.Table.from_pylist(sorted(summary.take_all(), key=lambda r: r["bucket"]))
+    rows = summary.take_all()
+    rows.extend({"bucket": b, "terms": -1} for b in sorted(done))  # -1 = resumed
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["bucket"]))
 
 
 def read_posting(out_dir: str, term: str) -> tuple[np.ndarray, np.ndarray]:

@@ -652,3 +652,41 @@ def test_cli_ann_and_minhash_roundtrip(ray_session, tmp_path):
     assert rc == 0
     pairs = pq.read_table(mh_out)
     assert set(pairs.column_names) == {"id_a", "id_b", "jaccard"}
+
+
+def test_term_postings_resume_skips_completed_buckets(ray_session, tmp_path):
+    """Resume protocol for the term-shuffle sink: existing (atomic) bucket
+    files are checkpoints — their fragments are dropped before the wide
+    edge, only missing buckets are rebuilt, and results are identical to
+    a clean run. Mismatched params refuse to resume."""
+    import os
+    import time as _time
+
+    from rayfts.ops.postings_export import build_term_postings, read_posting
+
+    out = str(tmp_path / "tp")
+    ds = _docs()
+    build_term_postings(ds, out, col="text", id_col="doc_id",
+                        analyzer="en_stem", num_buckets=8)
+    want = read_posting(out, "merg")
+    files = sorted(os.path.join(out, f"bucket={i:04d}.parquet") for i in range(8))
+    present = [f for f in files if os.path.exists(f)]
+    victim = present[2]
+    os.remove(victim)
+    mtimes = {f: os.path.getmtime(f) for f in present if f != victim}
+    _time.sleep(0.05)
+    summary = build_term_postings(ds, out, col="text", id_col="doc_id",
+                                  analyzer="en_stem", num_buckets=8, resume=True)
+    # only the deleted bucket was rebuilt; others untouched (marked -1)
+    by_bucket = dict(zip(summary["bucket"].to_pylist(),
+                         summary["terms"].to_pylist()))
+    victim_id = int(os.path.basename(victim)[len("bucket="):-len(".parquet")])
+    assert by_bucket[victim_id] >= 0
+    assert all(v == -1 for k, v in by_bucket.items() if k != victim_id)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m
+    got = read_posting(out, "merg")
+    assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])
+    with pytest.raises(ValueError):
+        build_term_postings(ds, out, col="text", id_col="doc_id",
+                            analyzer="default", num_buckets=8, resume=True)
