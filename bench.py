@@ -191,6 +191,41 @@ def bench_batch_qps(index_dir: str, n_queries: int = 2000) -> float:
     return n_queries / dt
 
 
+def bench_postings_export(num_buckets: int = 32) -> float:
+    """Term-partitioned global posting lists over the pre-generated code
+    corpus (the north-star term shuffle; VERDICT r2 #1's bench line).
+    Corpus generation is cached and untimed."""
+    import glob
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from rayfts.ops.postings_export import build_term_postings
+
+    corpus = _corpus_dir(CODE_CORPUS_DOCS)
+    files = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
+
+    def add_id(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b["commit"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "bench_id", pa.array((h >> np.uint64(1)).astype(np.int64)))
+
+    ds = (ray.data.read_parquet(files, columns=["commit", "content"])
+          .map_batches(add_id, batch_format="pyarrow"))
+    out = _fresh_dir("postings-export")
+    t0 = time.time()
+    summary = build_term_postings(ds, out, col="content", id_col="bench_id",
+                                  analyzer="en_stem", num_buckets=num_buckets)
+    dt = time.time() - t0
+    assert sum(t for t in summary["terms"].to_pylist() if t >= 0) > 0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
 def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     import ray.data
 
@@ -300,6 +335,10 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
                 _docs_schema(), index_name="documents", content_col="text",
                 key_cols=["doc_id"], resume=False)
     queries["docs_index_build"] = round(time.time() - t0, 3)
+
+    # the north-star "groupby-term shuffle into sorted posting lists" over
+    # the full code corpus (25M tokens), vectorized bucket reducer
+    queries["postings_export_code"] = round(bench_postings_export(), 3)
 
     for k, v in bench_sf_ops(sf_dir).items():
         queries[k] = round(v, 3)
