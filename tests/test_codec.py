@@ -217,3 +217,33 @@ def test_fieldnorm_table_matches_golden_file():
     for i, v in [(41, 42), (48, 56), (49, 60), (56, 88), (57, 96),
                  (64, 152), (248, 1073741848), (255, 2013265944)]:
         assert got[i] == v
+
+
+def test_varint_chunk_boundary_roundtrip(monkeypatch):
+    """Property: the cache-chunked varint kernels are byte-identical to
+    unchunked for arrays straddling chunk boundaries — exercised with a
+    tiny _CHUNK so every boundary case (empty tail, exact multiple,
+    single-value chunk, wide values AT the boundary) is hit."""
+    from hypothesis import given, settings, strategies as st
+
+    import rayfts.codec.varint as V
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                    min_size=0, max_size=40),
+           st.integers(min_value=1, max_value=9))
+    def check(vals, chunk):
+        v = np.array(vals, dtype=np.uint64)
+        monkeypatch.setattr(V, "_CHUNK", 1 << 40)
+        ref_len = V.varint_lengths(v)
+        ref_enc = V.encode_varints(v, ref_len)
+        ref_dec = V.decode_varints(ref_enc, count=v.size) if v.size else v
+        monkeypatch.setattr(V, "_CHUNK", chunk)
+        assert np.array_equal(V.varint_lengths(v), ref_len)
+        assert V.encode_varints(v) == ref_enc
+        assert V.encode_varints(v, V.varint_lengths(v)) == ref_enc
+        if v.size:
+            assert np.array_equal(V.decode_varints(ref_enc, count=v.size), ref_dec)
+            assert np.array_equal(V.decode_varints(ref_enc), v)
+
+    check()
