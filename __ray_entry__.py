@@ -141,7 +141,11 @@ def _topk_with_ids(searcher: Searcher, query, k: int = 10) -> pa.Table:
     what the SQL oracle's ORDER BY score DESC, doc_id reproduces."""
     gids, scores = searcher.matches(query)
     doc_ids = _stored_doc_ids(searcher, gids)
-    order = np.lexsort((doc_ids, -scores))[:k]
+    # rank identity is defined at 6dp: numpy and DuckDB f64 BM25 can
+    # disagree below rounding precision, which would flip near-tied docs
+    # at the cutoff (observed at sf0.1); both sides order by the ROUNDED
+    # score, then doc_id
+    order = np.lexsort((doc_ids, -np.round(scores, 6)))[:k]
     return pa.table({
         "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
         "doc_id": pa.array(doc_ids[order], type=pa.int64()),
@@ -195,8 +199,8 @@ def _safe(term: str) -> str:
 def _topk_term_sql(term: str, k: int = 10) -> str:
     return (
         f"WITH {_TOKS_CTE}, {_bm25_term_sql(term)} "
-        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id "
-        f"FROM sc_{_safe(term)} ORDER BY score DESC, doc_id LIMIT {k}"
+        f"SELECT CAST(row_number() OVER (ORDER BY round_even(score, 6) DESC, doc_id) AS BIGINT) AS rank, doc_id "
+        f"FROM sc_{_safe(term)} ORDER BY round_even(score, 6) DESC, doc_id LIMIT {k}"
     )
 
 
@@ -208,8 +212,8 @@ u AS (
          COALESCE(a.score, 0.0) + COALESCE(b.score, 0.0) AS score
   FROM sc_{_safe(t1)} a FULL OUTER JOIN sc_{_safe(t2)} b USING (doc_id)
 )
-SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, doc_id
-FROM u ORDER BY score DESC, doc_id LIMIT {k}
+SELECT CAST(row_number() OVER (ORDER BY round_even(score, 6) DESC, doc_id) AS BIGINT) AS rank, doc_id
+FROM u ORDER BY round_even(score, 6) DESC, doc_id LIMIT {k}
 """
 
 
@@ -443,7 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         s = _docs_index(sf, "oracle")
         queries = [T_MID, T_HOT, f"{T_MID} {T_B}"]
         qds = ray.data.from_arrow(pa.table({"query": pa.array(queries)}))
-        rows = batch_search(qds, s.index_dir, limit=5).take_all()
+        # over-fetch 10x: the engine cuts at raw-f64 order; re-ranking at
+        # 6dp below needs every doc whose rounded score ties the cutoff
+        rows = batch_search(qds, s.index_dir, limit=50).take_all()
         ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
         stored = _stored_doc_ids(s, ids)
         recs = sorted(
@@ -455,7 +461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for r in recs:
             rank = rank + 1 if r["query"] == lastq else 1
             lastq = r["query"]
-            out_rows.append((r["query"], rank, r["doc_id"], r["score"]))
+            if rank <= 5:
+                out_rows.append((r["query"], rank, r["doc_id"], r["score"]))
         return pa.table({
             "query": pa.array([r[0] for r in out_rows], type=pa.string()),
             "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
@@ -777,9 +784,9 @@ def _batch_search_sql(limit: int = 5) -> str:
             )
         parts.append(
             f"(SELECT '{qtext}' AS query, "
-            f"CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank, "
-            f"doc_id, round(score, 6) AS score FROM {src} "
-            f"ORDER BY score DESC, doc_id LIMIT {limit})"
+            f"CAST(row_number() OVER (ORDER BY round_even(score, 6) DESC, doc_id) AS BIGINT) AS rank, "
+            f"doc_id, round_even(score, 6) AS score FROM {src} "
+            f"ORDER BY round_even(score, 6) DESC, doc_id LIMIT {limit})"
         )
     return (
         f"WITH {_TOKS_CTE}, {ctes} "
