@@ -492,7 +492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_q(sf):
         from rayfts.ops.dedup import simhash_near_dup_pairs
 
-        return simhash_near_dup_pairs(_docs_ds(sf), max_hamming=3).sort(["id_a", "id_b"])
+        # max_bucket=None: exact recall to match the exhaustive SQL oracle
+        return simhash_near_dup_pairs(_docs_ds(sf), max_hamming=3,
+                                      max_bucket=None).sort(["id_a", "id_b"])
 
     q["simhash_near_dup"] = simhash_q
 

@@ -735,10 +735,19 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3):
+                           max_hamming: int = 3,
+                           max_bucket: int | None = 200,
+                           pair_tile: int = 4_000_000):
     """Banded simhash near-dup: 4 x 16-bit bands; hamming<=3 guarantees at
     least one identical band (pigeonhole). Groupby per band bucket, then
-    exact hamming verification on candidates."""
+    exact hamming verification on candidates.
+
+    ``max_bucket`` truncates a band bucket to its ``max_bucket``
+    smallest-id members before pairing — the web-scale guard: with 16-bit
+    bands, random collisions alone make bucket size ~corpus/65536, so an
+    uncapped bucket is quadratic. Pass ``None`` for exact recall when the
+    corpus is known to be modest (the oracle-checked configuration);
+    ``pair_tile`` bounds each pairing allocation either way."""
     hashed = ds.map_batches(lambda b: simhash_batch(b, col), batch_format="pyarrow")
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -778,18 +787,25 @@ def simhash_near_dup_pairs(ds, col: str = "text", id_col: str = "doc_id",
         ends = np.append(starts[1:], len(ids))
         a_out, b_out, d_out = [], [], []
         for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
-            e = min(e, s + 200)
+            if max_bucket is not None:
+                e = min(e, s + max_bucket)  # documented truncation
             run_ids, run_sim = ids[s:e], sim[s:e]
-            iu, ju = np.triu_indices(run_ids.size, k=1)
-            x = run_sim[iu] ^ run_sim[ju]
-            ham = np.zeros(x.size, dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
-            keep = (ham <= max_hamming) & (run_ids[iu] != run_ids[ju])
-            a_out.append(run_ids[iu][keep])
-            b_out.append(run_ids[ju][keep])
-            d_out.append(ham[keep])
+            m = run_ids.size
+            rows_per_tile = max(1, pair_tile // m)
+            for i0 in range(0, m - 1, rows_per_tile):
+                i1 = min(i0 + rows_per_tile, m - 1)
+                r, c = np.nonzero(
+                    np.arange(m)[None, :] > np.arange(i0, i1)[:, None])
+                iu, ju = r + i0, c
+                x = run_sim[iu] ^ run_sim[ju]
+                ham = np.zeros(x.size, dtype=np.int64)
+                while x.any():
+                    ham += (x & np.uint64(1)).astype(np.int64)
+                    x >>= np.uint64(1)
+                keep = (ham <= max_hamming) & (run_ids[iu] != run_ids[ju])
+                a_out.append(run_ids[iu][keep])
+                b_out.append(run_ids[ju][keep])
+                d_out.append(ham[keep])
         if not a_out:
             return empty
         return pa.table({"id_a": pa.array(np.concatenate(a_out), type=pa.int64()),
