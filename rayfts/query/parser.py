@@ -94,6 +94,11 @@ class QueryParser:
         return self._toks[self._pos] if self._pos < len(self._toks) else None
 
     def _next(self):
+        if self._pos >= len(self._toks):
+            # e.g. 'field:' with no value, or a dangling operator at EOF —
+            # must surface as the typed parse error (serving's bad-query
+            # policy swallows only QueryParseError/QueryError)
+            raise QueryParseError("unexpected end of query")
         t = self._toks[self._pos]
         self._pos += 1
         return t

@@ -396,3 +396,42 @@ def test_facet_counts_single_pass_multi_field(idx):
     flat = s.facet_counts({"term": {"body": "beta"}},
                           {"facet": ["/top"], "lang": [""]})
     assert flat == by_field["facet"] + by_field["lang"]
+
+
+def test_parser_fuzz_never_crashes(idx):
+    """Arbitrary query strings either parse+execute or raise the typed
+    QueryParseError/QueryError — never an unhandled exception (the bulk
+    serving error policy depends on this taxonomy)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.query.parser import QueryParseError
+    from rayfts.query.searcher import QueryError
+
+    s = idx.searcher()
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.text(max_size=40))
+    def check(q):
+        try:
+            s.top_k(q, 3)
+        except (QueryParseError, QueryError):
+            pass
+
+    check()
+
+    # grammar-shaped fragments (operators, fields, quotes, ranges) mixed
+    # randomly — the higher-yield fuzz surface
+    frag = st.sampled_from([
+        "+", "-", '"', "body:", "nosuch:", "AND", "OR", "(", ")", "[", "]",
+        "{", "}", "TO", "*", "~", "~2", "beta", "tied", "42", " ", "\\",
+    ])
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.lists(frag, max_size=8))
+    def check2(parts):
+        try:
+            s.top_k("".join(parts), 3)
+        except (QueryParseError, QueryError):
+            pass
+
+    check2()
