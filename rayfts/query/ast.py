@@ -16,6 +16,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 
 
+class QueryParseError(ValueError):
+    """Typed bad-query error (string grammar AND json DSL): the serving
+    error policy swallows exactly this + QueryError, so every malformed-
+    input path must raise it rather than bare ValueError/KeyError."""
+    pass
+
+
 class Query:
     pass
 
@@ -87,13 +94,25 @@ class Search:
 
 
 def from_dsl(obj) -> Query:
-    """Parse the JSON DSL into an AST."""
+    """Parse the JSON DSL into an AST. Any malformed shape raises the
+    typed QueryParseError (the serving bad-query policy depends on it) —
+    the structural helpers below can hit TypeError/KeyError/etc on
+    arbitrary JSON, so the whole parse is wrapped."""
+    try:
+        return _from_dsl(obj)
+    except QueryParseError:
+        raise
+    except (TypeError, KeyError, ValueError, AttributeError) as e:
+        raise QueryParseError(f"malformed query DSL: {obj!r} ({e})") from e
+
+
+def _from_dsl(obj) -> Query:
     if obj == "all" or obj is None:
         return All()
     if isinstance(obj, str):
         return Raw(obj)
     if not isinstance(obj, dict) or len(obj) != 1:
-        raise ValueError(f"malformed query DSL: {obj!r}")
+        raise QueryParseError(f"malformed query DSL: {obj!r}")
     (kind, body), = obj.items()
     if kind == "term":
         (field, value), = body.items()
@@ -126,17 +145,22 @@ def from_dsl(obj) -> Query:
         return Raw(str(body))
     if kind == "all":
         return All()
-    raise ValueError(f"unknown query kind {kind!r}")
+    raise QueryParseError(f"unknown query kind {kind!r}")
 
 
 def search_from_dsl(obj: dict) -> Search:
     """Parse a full ``Search`` request dict: {query, limit, facets, sort_by}."""
-    return Search(
-        query=from_dsl(obj.get("query", "all")),
-        limit=int(obj.get("limit", 100)),
-        facets=obj.get("facets"),
-        sort_by=obj.get("sort_by"),
-    )
+    try:
+        return Search(
+            query=from_dsl(obj.get("query", "all")),
+            limit=int(obj.get("limit", 100)),
+            facets=obj.get("facets"),
+            sort_by=obj.get("sort_by"),
+        )
+    except QueryParseError:
+        raise
+    except (TypeError, KeyError, ValueError, AttributeError) as e:
+        raise QueryParseError(f"malformed search request: {e}") from e
 
 
 def collect_scored_terms(q: Query) -> list[tuple[str, str]]:

@@ -27,8 +27,7 @@ from rayfts.index.schema import IndexSchema, TEXT
 from rayfts.query.ast import All, Bool, Phrase, Query, Range, Term
 
 
-class QueryParseError(ValueError):
-    pass
+from rayfts.query.ast import QueryParseError  # noqa: F401 (canonical home)
 
 
 _TOKEN_SPEC = re.compile(

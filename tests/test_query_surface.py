@@ -435,3 +435,38 @@ def test_parser_fuzz_never_crashes(idx):
             pass
 
     check2()
+
+
+def test_dsl_fuzz_never_crashes(idx):
+    """Arbitrary JSON-shaped DSL inputs either execute or raise the typed
+    QueryParseError/QueryError — KeyError/TypeError escaping the DSL
+    layer would break the serving error policy."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.query.parser import QueryParseError
+    from rayfts.query.searcher import QueryError
+
+    s = idx.searcher()
+    leaf = st.one_of(st.text(max_size=8), st.integers(-5, 5), st.none(),
+                     st.booleans())
+    node = st.recursive(
+        leaf,
+        lambda ch: st.one_of(
+            st.dictionaries(
+                st.sampled_from(["term", "bool", "phrase", "range", "regex",
+                                 "fuzzy", "all", "must", "should", "must_not",
+                                 "field", "value", "body", "query", "limit",
+                                 "sort_by", "facets", "nosuch"]),
+                ch, max_size=3),
+            st.lists(ch, max_size=3)),
+        max_leaves=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(node)
+    def check(d):
+        try:
+            s.search({"query": d, "limit": 3})
+        except (QueryParseError, QueryError):
+            pass
+
+    check()
