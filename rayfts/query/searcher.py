@@ -293,7 +293,11 @@ class Searcher:
             raise QueryError("empty query (search.rs:100-102 semantics)")
         sort_field = None
         if search.sort_by:
-            fdef = self.schema.field(search.sort_by)
+            try:
+                fdef = self.schema.field(search.sort_by)
+            except KeyError:
+                raise QueryError(
+                    f"unknown sort_by field {search.sort_by!r}") from None
             if fdef.fast and fdef.stored:
                 sort_field = search.sort_by
         limit = search.limit

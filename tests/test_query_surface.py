@@ -470,3 +470,43 @@ def test_dsl_fuzz_never_crashes(idx):
             pass
 
     check()
+
+
+def test_search_envelope_and_snippet_fuzz(idx):
+    """Full request envelopes with garbage limit/sort_by and the snippet
+    highlighter over arbitrary queries never crash untyped."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.query.parser import QueryParseError
+    from rayfts.query.searcher import QueryError
+
+    s = idx.searcher()
+    env = st.fixed_dictionaries({}, optional={
+        "query": st.one_of(st.none(), st.text(max_size=10),
+                           st.dictionaries(st.sampled_from(["term", "all"]),
+                                           st.text(max_size=5), max_size=1)),
+        "limit": st.one_of(st.integers(-3, 20), st.text(max_size=3),
+                           st.none(), st.lists(st.integers(), max_size=1)),
+        "sort_by": st.one_of(st.none(), st.sampled_from(["size", "body", "nosuch"]),
+                             st.integers(-2, 2)),
+    })
+
+    @settings(max_examples=200, deadline=None)
+    @given(env)
+    def check(e):
+        try:
+            s.search(e)
+        except (QueryParseError, QueryError):
+            pass
+
+    check()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=20))
+    def check_snip(q):
+        try:
+            s.query_string(q, limit=3, snippet_field="body")
+        except (QueryParseError, QueryError):
+            pass
+
+    check_snip()
