@@ -62,8 +62,22 @@ class Index:
         if isinstance(docs, pa.Table):
             table = docs
         else:
-            known = {f.name for f in schema.fields}
-            norm = [{k: v for k, v in d.items() if k in known} for d in docs]
+            # unknown fields dropped; schema fields ABSENT from a doc are
+            # null (reference tolerance: a doc simply lacks the field,
+            # index.rs:176-179 — it must not fail the whole batch); text
+            # fields stringify scalars (the JSON bridge hands through
+            # numbers; the engine's segment writer already str()s values)
+            def _norm_value(fdef, v):
+                if v is None or fdef.type != "text":
+                    return v
+                if isinstance(v, (list, tuple)):
+                    return [None if x is None else str(x) for x in v]
+                return v if isinstance(v, str) else str(v)
+
+            norm = [
+                {f.name: _norm_value(f, d.get(f.name)) for f in schema.fields}
+                for d in docs
+            ]
             # flatten nothing: list values become pa list columns (the
             # multi-valued model, catalog.js:131-144 -> pa.list_)
             table = pa.Table.from_pylist(norm)

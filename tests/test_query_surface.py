@@ -510,3 +510,37 @@ def test_search_envelope_and_snippet_fuzz(idx):
             pass
 
     check_snip()
+
+
+def test_add_documents_fuzz(tmp_path_factory):
+    """Ingest fuzz: arbitrary JSON-ish docs either commit (unknown fields
+    dropped, reference tolerance) or raise ValueError/TypeError with a
+    message — never corrupt the index: after every batch the index stays
+    openable and queryable."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from rayfts.index.catalog import IndexCatalog
+
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("ingest_fuzz")))
+    h = cat.create_index("fz", IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("size", "u64", indexed=True, stored=True, fast=True),
+    ]))
+    val = st.one_of(st.none(), st.text(max_size=12), st.integers(-10, 10**12),
+                    st.floats(allow_nan=False), st.booleans(),
+                    st.lists(st.text(max_size=6), max_size=3))
+    doc = st.dictionaries(st.sampled_from(["body", "size", "junk", ""]), val,
+                          max_size=3)
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(doc, min_size=1, max_size=3))
+    def check(docs):
+        try:
+            h.add_documents(docs)
+        except (ValueError, TypeError, ArithmeticError):
+            pass
+        # index must remain consistent and queryable after every attempt
+        h.query("anything")
+
+    check()
