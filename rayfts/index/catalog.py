@@ -78,6 +78,18 @@ class Index:
                 {f.name: _norm_value(f, d.get(f.name)) for f in schema.fields}
                 for d in docs
             ]
+            # a batch mixing scalar and list values for one text field
+            # would break Arrow's type inference: promote that field's
+            # scalars to single-element lists (retrieval normalizes every
+            # value to a list anyway)
+            for f in schema.fields:
+                if f.type != "text":
+                    continue
+                if any(isinstance(nd[f.name], list) for nd in norm):
+                    for nd in norm:
+                        v = nd[f.name]
+                        if v is not None and not isinstance(v, list):
+                            nd[f.name] = [v]
             # flatten nothing: list values become pa list columns (the
             # multi-valued model, catalog.js:131-144 -> pa.list_)
             table = pa.Table.from_pylist(norm)

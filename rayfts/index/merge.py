@@ -54,6 +54,39 @@ def merged_segment_id(source_ids: list[str]) -> str:
     return f"{min(source_ids)}.m{len(source_ids)}"
 
 
+def _reconcile_store_schemas(stores: list[pa.Table]) -> list[pa.Table]:
+    """Text fields are scalar-or-list per doc batch (the multi-valued
+    model, catalog.js:131-144), so segments ingested from different batch
+    shapes can disagree on a store column's type (string vs
+    list<string>), which fails the concat. Promote the SCALAR side of
+    drifted columns to single-element lists — doc retrieval already
+    normalizes every value to a list (Searcher._fetch_doc), so results
+    are unchanged; homogeneous merge groups are untouched."""
+    names = {n for t in stores for n in t.column_names}
+    drifted = set()
+    for name in names:
+        types = {t.schema.field(name).type for t in stores
+                 if name in t.column_names}
+        if len(types) > 1 and any(pa.types.is_list(tp) or
+                                  pa.types.is_large_list(tp) for tp in types):
+            drifted.add(name)
+    if not drifted:
+        return stores
+    out = []
+    for t in stores:
+        for name in drifted:
+            if name not in t.column_names:
+                continue
+            i = t.column_names.index(name)
+            col = t.column(name).combine_chunks()
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                continue
+            offsets = pa.array(np.arange(len(col) + 1, dtype=np.int32))
+            t = t.set_column(i, name, pa.ListArray.from_arrays(offsets, col))
+        out.append(t)
+    return out
+
+
 def merge_segment_group(
     index_dir: str, schema_json: list, source_ids: list[str]
 ) -> SegmentInfo:
@@ -204,7 +237,7 @@ def merge_segment_group(
     with open(os.path.join(tmp, POSITIONS_FILE), "wb") as f:
         f.write(b"".join(pos_chunks))
     np.savez(os.path.join(tmp, NORMS_FILE), **norms_out)
-    stores = [r.store() for r in readers]
+    stores = _reconcile_store_schemas([r.store() for r in readers])
     merged_store = pa.concat_tables(stores, promote_options="default")
     pq.write_table(merged_store, os.path.join(tmp, STORE_FILE))
     # facet sidecars regenerate from the SOURCE sidecars (codes decoded to

@@ -358,3 +358,48 @@ def test_log_merge_survives_driver_sigkill(ray_session, tmp_path):
     assert m2.version > version_before and m2.num_docs == 500
     after = Searcher(path)
     assert [(h.score, h.doc_id) for h in after.top_k("merge", 10)] == want
+
+
+def test_merge_invariance_over_fuzz_ingest(ray_session, tmp_path):
+    """End-to-end property: after ingesting adversarial doc batches
+    (absent fields, multi-valued, unicode, numbers-as-text), compaction
+    preserves every query's (score, external-id) results exactly."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from rayfts.index.catalog import IndexCatalog
+    from rayfts.index.merge import log_merge_index
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    val = st.one_of(st.none(), st.text("abcé ", max_size=12),
+                    st.integers(0, 5),
+                    st.lists(st.text("xyz ", max_size=6), max_size=3))
+    doc = st.dictionaries(st.sampled_from(["body", "tag", "junk"]), val,
+                          max_size=3)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.lists(doc, min_size=1, max_size=4),
+                    min_size=3, max_size=6))
+    def check(batches):
+        import uuid as _uuid
+
+        root = str(tmp_path / _uuid.uuid4().hex[:8])
+        cat = IndexCatalog(root)
+        h = cat.create_index("mf", IndexSchema([
+            FieldDef("body", "text", tokenizer="default", record="position"),
+            FieldDef("tag", "text", tokenizer="raw", record="basic"),
+        ]))
+        for b in batches:
+            h.add_documents(b)
+        qs = ["a", "x", "body:abc", '"a b"', "+a -x", "tag:1"]
+        def results():
+            s = Searcher(h.path)
+            return [
+                [(round(hit.score, 9), hit.doc_id) for hit in s.top_k(q, 10)]
+                for q in qs
+            ]
+        before = results()
+        log_merge_index(h.path, min_merge=2, max_merge=4)
+        assert results() == before
+
+    check()
