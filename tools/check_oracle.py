@@ -36,7 +36,8 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(str(rows).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None,
+         skip: set[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -58,6 +59,11 @@ def main(sf_dir: str) -> int:
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if skip and name in skip:
+            print(f"skip {name}")
+            continue
         t0 = time.time()
         try:
             mine = to_pandas(fn(sf_dir))
@@ -98,4 +104,16 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01") else 0)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", help="comma-separated query names to run")
+    ap.add_argument("--skip", help="comma-separated query names to skip "
+                    "(e.g. minhash_dedup_pairs, whose full-pipeline SQL "
+                    "oracle is 10+ min at sf0.1 — an oracle cost, see "
+                    "BASELINE.md cross-scale section)")
+    a = ap.parse_args()
+    sys.exit(main(a.sf_dir,
+                  only=set(a.only.split(",")) if a.only else None,
+                  skip=set(a.skip.split(",")) if a.skip else None))
