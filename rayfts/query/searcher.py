@@ -420,7 +420,13 @@ class Searcher:
             else:
                 col = reader.store()[field]
                 vals = col.take(pa.array(docids.astype(np.int64)))
-                vc = pc.value_counts(vals.combine_chunks())
+                vals = vals.combine_chunks()
+                if pa.types.is_list(vals.type) or pa.types.is_large_list(vals.type):
+                    # multi-valued stored field: each element of a doc's
+                    # list contributes one count (tantivy facets are
+                    # inherently multi-valued)
+                    vals = vals.flatten()
+                vc = pc.value_counts(vals)
                 items = [
                     (str(v), int(c))
                     for v, c in zip(

@@ -544,3 +544,27 @@ def test_add_documents_fuzz(tmp_path_factory):
         h.query("anything")
 
     check()
+
+
+def test_facet_counts_multivalued_stored_field(tmp_path_factory):
+    """Facet counting over a MULTI-VALUED stored string field: each list
+    element of a matching doc contributes one count (tantivy facets are
+    inherently multi-valued; the fallback store-column path must flatten
+    list columns rather than fail)."""
+    from rayfts.index.catalog import IndexCatalog
+
+    cat = IndexCatalog(str(tmp_path_factory.mktemp("mv_facets")))
+    h = cat.create_index("mv", IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("cats", "text", tokenizer="raw", record="basic"),
+    ]))
+    h.add_documents([
+        {"body": "alpha", "cats": ["/a/x", "/a/y"]},
+        {"body": "alpha", "cats": ["/a/x", "/b/z"]},
+        {"body": "beta", "cats": ["/a/x"]},
+    ])
+    s = h.searcher()
+    got = s.facet_counts({"term": {"body": "alpha"}}, {"cats": ["/a"]})
+    assert got == [{"term": "/a/x", "count": 2}, {"term": "/a/y", "count": 1}]
+    root = s.facet_counts({"term": {"body": "alpha"}}, {"cats": [""]})
+    assert {(d["term"], d["count"]) for d in root} == {("/a", 3), ("/b", 1)}
