@@ -291,3 +291,42 @@ def test_hash_mode_pins_num_segments(ray_session, tmp_path):
         build_index(f"{SF}/documents.parquet", path, doc_schema(),
                     content_col="text", key_cols=["doc_id"], num_segments=12,
                     partition_mode="hash")
+
+
+def test_pipeline_composition_dedup_then_index_then_serve(ray_session, tmp_path):
+    """Training-data pipeline chaining: exact_dedup's full-row Dataset
+    feeds build_index directly (no parquet round-trip), and the served
+    index matches one built from the same rows via parquet — the Ray-Data
+    composition contract for multi-stage pipelines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from rayfts.ops.dedup import exact_dedup
+
+    deduped = exact_dedup(
+        ray.data.read_parquet(f"{SF}/documents.parquet"),
+        col="text", id_col="doc_id",
+    ).materialize()
+    n_kept = deduped.count()
+    assert 0 < n_kept <= 500
+
+    p_direct = str(tmp_path / "direct")
+    m1 = build_index(deduped, p_direct, doc_schema(), content_col="text",
+                     key_cols=["doc_id"], num_segments=4, resume=False)
+    assert m1.num_docs == n_kept
+
+    # same rows via a parquet checkpoint must rank identically
+    chk = str(tmp_path / "chk.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        deduped.to_pandas().sort_values("doc_id").reset_index(drop=True)), chk)
+    p_parquet = str(tmp_path / "viaparquet")
+    build_index(chk, p_parquet, doc_schema(), content_col="text",
+                key_cols=["doc_id"], num_segments=4, partition_mode="hash",
+                resume=False)
+    s1, s2 = Searcher(p_direct), Searcher(p_parquet)
+    for q in ["merge", "filter batch", '"the the"']:
+        r1 = [(h["doc"]["doc_id"][0], round(h["score"], 9)) for h in s1.query_string(q)]
+        r2 = [(h["doc"]["doc_id"][0], round(h["score"], 9)) for h in s2.query_string(q)]
+        assert r1 == r2, q
