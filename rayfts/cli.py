@@ -79,6 +79,22 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    """Distributed incremental ingest into an existing index."""
+    _ensure_ray()
+    from rayfts.index.build import append_to_index
+
+    paths = sorted(p for pat in args.input for p in glob.glob(pat)) or args.input
+    t0 = time.time()
+    m = append_to_index(paths, args.index, content_col=args.content_col,
+                        key_cols=args.key_cols.split(",") if args.key_cols else None,
+                        num_new_segments=args.num_new_segments)
+    print(json.dumps({"index": args.index, "segments": len(m.segments),
+                      "docs": m.num_docs, "version": m.version,
+                      "seconds": round(time.time() - t0, 2)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _ensure_ray()
     from rayfts.query.searcher import Searcher
@@ -302,6 +318,15 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--target-docs-per-segment", type=int, default=None)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    app = sub.add_parser("append",
+                         help="append new documents to an existing index")
+    app.add_argument("--input", nargs="+", required=True)
+    app.add_argument("--index", required=True)
+    app.add_argument("--content-col", default="content")
+    app.add_argument("--key-cols", default=None)
+    app.add_argument("--num-new-segments", type=int, default=None)
+    app.set_defaults(fn=cmd_append)
 
     q = sub.add_parser("query", help="string query against an index")
     q.add_argument("--index", required=True)

@@ -516,3 +516,99 @@ def _build_from_units(
         batch_format="pyarrow",
     )
     return _commit_stream(infos_ds, index_dir, t0)
+
+
+def append_to_index(
+    source,
+    index_dir: str,
+    *,
+    content_col: str = "content",
+    key_cols: list[str] | None = None,
+    num_new_segments: int | None = None,
+    columns: list[str] | None = None,
+) -> mf.Manifest:
+    """Distributed INCREMENTAL ingest: build new segments from a Dataset
+    or parquet paths and register them in an EXISTING index — the
+    Ray-scale counterpart of the reference's per-batch ``add_documents``
+    commits (one call = one atomic manifest version bump; serving picks
+    it up via ``SearchService.refresh()``, ReloadPolicy::OnCommit).
+
+    Segment membership is any disjoint cover of the input, so the new
+    data is simply doc-partitioned into ``num_new_segments`` blocks (no
+    shuffle coordination with existing segments is needed); new segment
+    ids extend the lexicographic MAX existing id so they sort AFTER every
+    current segment — existing docs keep their global docids. The
+    fieldnorm codec is inherited from the index's existing segments
+    (mixing codecs would skew BM25 norms)."""
+    import json as _json
+    import uuid as _uuid
+
+    manifest = mf.read_manifest(index_dir)
+    schema = manifest.schema
+    fieldnorm_codec = FieldNormCodec.TANTIVY_LIKE
+    ordered = manifest.ordered_segments()
+    if ordered:
+        seg_json = os.path.join(
+            mf.segment_path(index_dir, ordered[0].segment_id), "segment.json")
+        try:
+            with open(seg_json) as f:
+                fieldnorm_codec = _json.load(f).get(
+                    "fieldnorm_codec", fieldnorm_codec)
+        except OSError:
+            pass
+
+    is_paths = isinstance(source, (str, list))
+    if is_paths:
+        paths = []
+        for p in ([source] if isinstance(source, str) else source):
+            if os.path.isdir(p):
+                paths.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                             if f.endswith(".parquet"))
+            else:
+                paths.append(p)
+        ds = ray.data.read_parquet(sorted(paths), columns=columns)
+    else:
+        ds = source
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_new = int(num_new_segments or max(1, cpus // 2))
+
+    existing = manifest.segment_ids()
+    max_id = max(existing) if existing else "seg-000000"
+    # any id extending max_id sorts strictly after every existing id;
+    # the version component keeps successive appends distinct
+    gen = f"{max_id}.a{manifest.version:04d}"
+
+    prep = make_prep_fn(content_col, key_cols, 1)
+    schema_json = schema.to_json()
+
+    def build_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"info": pa.array([], type=pa.string())})
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+        sch = IndexSchema.from_json(schema_json)
+        seg_id = f"{gen}-{_uuid.uuid4().hex[:10]}"
+        tbl = prep(batch).drop_columns([SEG_COL, KEY_COL])
+        info = build_segment(
+            tbl, sch, seg_id, mf.segment_path(index_dir, seg_id),
+            fieldnorm_codec=fieldnorm_codec,
+            lineage={"source": "append", "rows": tbl.num_rows},
+        )
+        return pa.table({"info": pa.array([_json.dumps(info.to_json())],
+                                          type=pa.string())})
+
+    infos_ds = ds.repartition(n_new).map_batches(
+        build_block, batch_format="pyarrow", batch_size=None)
+    infos = [SegmentInfo.from_json(_json.loads(r["info"]))
+             for r in infos_ds.take_all()]
+    # re-read before the swap: committed segment dirs are durable, the
+    # manifest bump is the atomic commit point
+    manifest = mf.read_manifest(index_dir)
+    manifest.add_segments(infos)
+    mf.write_manifest(index_dir, manifest)
+    return manifest

@@ -330,3 +330,77 @@ def test_pipeline_composition_dedup_then_index_then_serve(ray_session, tmp_path)
         r1 = [(h["doc"]["doc_id"][0], round(h["score"], 9)) for h in s1.query_string(q)]
         r2 = [(h["doc"]["doc_id"][0], round(h["score"], 9)) for h in s2.query_string(q)]
         assert r1 == r2, q
+
+
+def test_append_to_index_distributed(ray_session, tmp_path):
+    """Distributed incremental ingest: append a second Dataset to a built
+    index; existing global docids are stable (new segments sort after),
+    counts grow, and (stored doc_id, score) results equal a from-scratch
+    index over the union. Serving picks the commit up via refresh()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rayfts.index.build import append_to_index
+    from rayfts.query.serve import SearchService
+
+    full = pq.read_table(f"{SF}/documents.parquet")
+    first, second = full.slice(0, 300), full.slice(300)
+
+    p1 = str(tmp_path / "base.parquet")
+    pq.write_table(first, p1)
+    idx = str(tmp_path / "idx")
+    build_index(p1, idx, doc_schema(), content_col="text",
+                key_cols=["doc_id"], num_segments=4, partition_mode="hash",
+                resume=False)
+    base = Searcher(idx)
+    base_gids = {  # stored doc_id -> global docid before the append
+        int(d): int(g) for g, d in zip(*_gid_docid_pairs(base))
+    }
+    svc = SearchService(idx, num_actors=2)
+    try:
+        assert svc.count("the") == base.count("the")
+        m2 = append_to_index(ray.data.from_arrow(second), idx,
+                             content_col="text", key_cols=["doc_id"],
+                             num_new_segments=3)
+        assert m2.num_docs == 500
+        after = Searcher(idx)
+        after_gids = {int(d): int(g) for g, d in zip(*_gid_docid_pairs(after))}
+        for doc_id, gid in base_gids.items():
+            assert after_gids[doc_id] == gid  # existing docs keep gids
+        svc.refresh()
+        assert svc.count("the") == after.count("the")
+    finally:
+        svc.shutdown()
+
+    # rank parity with a from-scratch build over the union
+    scratch = str(tmp_path / "scratch")
+    build_index(f"{SF}/documents.parquet", scratch, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=4,
+                partition_mode="hash", resume=False)
+    s1, s2 = Searcher(idx), Searcher(scratch)
+    for q in ["merge", "filter batch", '"the the"', "+the -batch"]:
+        # equal-score ties break on INTERNAL global docid (tantivy
+        # semantics), which legitimately differs between an appended and
+        # a from-scratch index; compare the (doc_id, score) multiset with
+        # the cutoff score-group dropped (it can truncate differently)
+        r1 = sorted((h["doc"]["doc_id"][0], round(h["score"], 9))
+                    for h in s1.query_string(q, limit=30))
+        r2 = sorted((h["doc"]["doc_id"][0], round(h["score"], 9))
+                    for h in s2.query_string(q, limit=30))
+        if r1 != r2:
+            cut = min(min(s for _, s in r1), min(s for _, s in r2))
+            r1 = [x for x in r1 if x[1] > cut]
+            r2 = [x for x in r2 if x[1] > cut]
+        assert r1 == r2, q
+
+
+def _gid_docid_pairs(s):
+    import numpy as np
+
+    gids, _ = s.matches("the")
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _stored_doc_ids
+
+    return gids, _stored_doc_ids(s, gids)
