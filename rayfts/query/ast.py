@@ -16,6 +16,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 
 
+class QueryError(ValueError):
+    """Typed query-TIME error (valid parse, bad execution input: unknown
+    field, non-numeric bound on a numeric range, empty query...)."""
+    pass
+
+
 class QueryParseError(ValueError):
     """Typed bad-query error (string grammar AND json DSL): the serving
     error policy swallows exactly this + QueryError, so every malformed-

@@ -28,6 +28,7 @@ from rayfts.codec.postings import decode_skips
 from rayfts.index.schema import NUMERIC_TYPES
 from rayfts.index.segment import SegmentReader
 from rayfts.query import bm25
+from rayfts.query.ast import QueryError
 from rayfts.query.ast import (
     All,
     Bool,
@@ -214,7 +215,16 @@ def _exec_range(q: Range, seg: SegmentReader, stats: GlobalStats) -> Matches:
     fdef = seg.schema.field(q.field)
     if fdef.type in NUMERIC_TYPES and fdef.fast:
         col = seg.fast_column(q.field)
-        num = float if fdef.type == "f64" else int
+        conv = float if fdef.type == "f64" else int
+
+        def num(v):
+            try:
+                return conv(v)
+            except (TypeError, ValueError):
+                raise QueryError(
+                    f"non-numeric bound {v!r} for {fdef.type} range on "
+                    f"{q.field!r}") from None
+
         mask = np.ones(col.size, dtype=bool)
         if q.gte is not None:
             mask &= col >= num(q.gte)

@@ -42,8 +42,7 @@ from rayfts.query.parser import QueryParser
 from rayfts.query.snippet import SnippetGenerator
 
 
-class QueryError(ValueError):
-    pass
+from rayfts.query.ast import QueryError  # noqa: F401 (canonical home)
 
 
 @dataclass

@@ -568,3 +568,27 @@ def test_facet_counts_multivalued_stored_field(tmp_path_factory):
     assert got == [{"term": "/a/x", "count": 2}, {"term": "/a/y", "count": 1}]
     root = s.facet_counts({"term": {"body": "alpha"}}, {"cats": [""]})
     assert {(d["term"], d["count"]) for d in root} == {("/a", 3), ("/b", 1)}
+
+
+def test_range_query_fuzz(idx):
+    """Range queries with adversarial bounds (non-numeric on numeric
+    fields, reversed, stars, unicode) stay inside the typed errors."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.query.parser import QueryParseError
+    from rayfts.query.searcher import QueryError
+
+    s = idx.searcher()
+    bound = st.one_of(st.just("*"), st.integers(-5, 99).map(str),
+                      st.text("abz9é", min_size=1, max_size=5))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sampled_from(["size", "body", "lang"]), bound, bound,
+           st.sampled_from(["[", "{"]), st.sampled_from(["]", "}"]))
+    def check(field, lo, hi, lb, rb):
+        try:
+            s.top_k(f"{field}:{lb}{lo} TO {hi}{rb}", 5)
+        except (QueryParseError, QueryError):
+            pass
+
+    check()
