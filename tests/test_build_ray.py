@@ -404,3 +404,35 @@ def _gid_docid_pairs(s):
     from __ray_entry__ import _stored_doc_ids
 
     return gids, _stored_doc_ids(s, gids)
+
+
+def test_append_then_compact_invariance(ray_session, tmp_path):
+    """Appended segments (generation-suffixed ids) flow through the
+    LogMergePolicy compaction like any others: results invariant, docid
+    order preserved, segment count drops."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rayfts.index.build import append_to_index
+    from rayfts.index.merge import log_merge_index
+
+    full = pq.read_table(f"{SF}/documents.parquet")
+    p1 = str(tmp_path / "base.parquet")
+    pq.write_table(full.slice(0, 200), p1)
+    idx = str(tmp_path / "idx")
+    build_index(p1, idx, doc_schema(), content_col="text",
+                key_cols=["doc_id"], num_segments=4, partition_mode="hash",
+                resume=False)
+    for lo in (200, 300, 400):
+        append_to_index(ray.data.from_arrow(full.slice(lo, 100)), idx,
+                        content_col="text", key_cols=["doc_id"],
+                        num_new_segments=2)
+    n_before = len(mf.read_manifest(idx).segments)
+    s = Searcher(idx)
+    probes = ["merge", "filter batch", '"the the"']
+    want = {q: [(h.score, h.doc_id) for h in s.top_k(q, 10)] for q in probes}
+    m = log_merge_index(idx, min_merge=3, max_merge=8)
+    assert len(m.segments) < n_before and m.num_docs == 500
+    after = Searcher(idx)
+    for q in probes:
+        assert [(h.score, h.doc_id) for h in after.top_k(q, 10)] == want[q], q
