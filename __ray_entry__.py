@@ -571,6 +571,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["fingerprints"] = fingerprint_q
 
+    # ---- windowed / sessionized event aggregates (oracle-checked) ----
+
+    def tumbling_window_q(sf):
+        """Tumbling-window count+sum over the events stream (pre-aggregated
+        partials -> uniform-key reduce, ops/events.py)."""
+        import pyarrow.compute as pc
+
+        from rayfts.ops.events import tumbling_window_agg
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        out = tumbling_window_agg(ds, window_sec=3600)
+
+        # exact-integer cents: float round implementations differ by 1 ulp
+        # between Arrow and DuckDB, which fails the string-hash compare
+        def shape(b: pa.Table) -> pa.Table:
+            cents = np.round(
+                b["sum_value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return b.set_column(
+                b.column_names.index("sum_value"), "sum_value_cents",
+                pa.array(cents, type=pa.int64()))
+
+        return (out.map_batches(shape, batch_format="pyarrow")
+                .sort(["window_start_us", "event_type"]))
+
+    q["tumbling_window_agg"] = tumbling_window_q
+
+    def sessionize_q(sf):
+        """Gap-based sessionization (user-partitioned vectorized pass)."""
+        import pyarrow.compute as pc
+
+        from rayfts.ops.events import sessionize
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        out = sessionize(ds, gap_sec=1800)
+
+        def shape(b: pa.Table) -> pa.Table:
+            cents = np.round(
+                b["sum_value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return b.set_column(
+                b.column_names.index("sum_value"), "sum_value_cents",
+                pa.array(cents, type=pa.int64()))
+
+        return (out.map_batches(shape, batch_format="pyarrow")
+                .sort(["user_id", "session_start_us"]))
+
+    q["sessionize"] = sessionize_q
+
     def multimodal_q(sf):
         from rayfts.ops.multimodal import DecodeImage, decode_pipeline, synth_media_table
 
@@ -1033,6 +1082,31 @@ FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
     sql["fingerprints"] = _fingerprint_sql()
     sql["simhash_near_dup"] = _SIMHASH_SQL
     sql["minhash_dedup_pairs"] = _minhash_sql(threshold=0.5)
+    sql["tumbling_window_agg"] = (
+        "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, "
+        "event_type, count(*) AS n_events, "
+        "CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    sql["sessionize"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+o AS (
+  SELECT user_id, t, value,
+    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, t, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
+       CAST(round_even(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+"""
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["batch_search"] = _batch_search_sql(limit=5)
     return sql

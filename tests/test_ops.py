@@ -690,3 +690,81 @@ def test_term_postings_resume_skips_completed_buckets(ray_session, tmp_path):
     with pytest.raises(ValueError):
         build_term_postings(ds, out, col="text", id_col="doc_id",
                             analyzer="default", num_buckets=8, resume=True)
+
+
+def test_tumbling_window_agg_known_answers(ray_session):
+    from rayfts.ops.events import tumbling_window_agg
+
+    H = 3_600_000_000  # one hour in us
+    tbl = pa.table({
+        "ts": pa.array([10, H - 1, H, H + 5, 2 * H, 2 * H + 1], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "b", "b"]),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+    })
+    rows = sorted(
+        ((r["window_start_us"], r["event_type"], r["n_events"], r["sum_value"])
+         for r in tumbling_window_agg(
+             ray.data.from_arrow(tbl), window_sec=3600).take_all()))
+    assert rows == [
+        (0, "a", 1, 1.0), (0, "b", 1, 2.0),
+        (H, "a", 2, 12.0),
+        (2 * H, "b", 2, 48.0),
+    ]
+
+
+def test_sessionize_gap_boundary(ray_session):
+    """Gap EXACTLY equal to the threshold continues the session; one
+    microsecond more breaks it. Interleaved users stay independent."""
+    from rayfts.ops.events import sessionize
+
+    G = 1_800_000_000  # 30 min in us
+    tbl = pa.table({
+        "ts": pa.array([0, G, 2 * G + 1, 5, 10], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+    })
+    rows = sorted(
+        ((r["user_id"], r["session_start_us"], r["n_events"], r["sum_value"])
+         for r in sessionize(ray.data.from_arrow(tbl),
+                             gap_sec=1800).take_all()))
+    assert rows == [
+        (1, 0, 2, 3.0),          # gap == G keeps the session
+        (1, 2 * G + 1, 1, 4.0),  # gap > G breaks
+        (2, 5, 2, 24.0),
+    ]
+
+
+def test_event_ops_match_duckdb(ray_session):
+    """Both event operators vs DuckDB over the real events table (ts as
+    timestamp[us]; partial-aggregation and partitioning must not change
+    any count or sum)."""
+    import duckdb
+
+    from rayfts.ops.events import sessionize, tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = sorted(((r["window_start_us"], r["event_type"], r["n_events"],
+                   round(r["sum_value"], 6))
+                  for r in tumbling_window_agg(ds, window_sec=3600).take_all()))
+    exp = duckdb.sql(
+        f"SELECT (epoch_us(ts) // 3600000000) * 3600000000, event_type, "
+        f"count(*), round_even(sum(value), 6) "
+        f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+    got_s = sorted(((r["user_id"], r["session_start_us"], r["n_events"],
+                     round(r["sum_value"], 6))
+                    for r in sessionize(ds, gap_sec=1800).take_all()))
+    exp_s = duckdb.sql(f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value
+           FROM read_parquet('{SF}/events.parquet')),
+o AS (SELECT user_id, t, value,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+             THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT user_id, t, value, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, min(t), count(*), round_even(sum(value), 6)
+FROM s GROUP BY user_id, sid ORDER BY 1, 2""").fetchall()
+    assert got_s == [tuple(r) for r in exp_s]
