@@ -257,6 +257,17 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         brute_force_topk(ray.data.read_parquet(emb), qvec, k=10)
         out["ann_brute_topk"] = time.time() - t0
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(ev):
+        from rayfts.ops.events import sessionize, tumbling_window_agg
+
+        t0 = time.time()
+        tumbling_window_agg(ray.data.read_parquet(ev), window_sec=3600).count()
+        out["tumbling_window"] = time.time() - t0
+        t0 = time.time()
+        sessionize(ray.data.read_parquet(ev), gap_sec=1800).count()
+        out["sessionize"] = time.time() - t0
     return out
 
 
