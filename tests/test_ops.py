@@ -768,3 +768,57 @@ s AS (SELECT user_id, t, value, sum(brk) OVER (PARTITION BY user_id ORDER BY t
 SELECT user_id, min(t), count(*), round_even(sum(value), 6)
 FROM s GROUP BY user_id, sid ORDER BY 1, 2""").fetchall()
     assert got_s == [tuple(r) for r in exp_s]
+
+
+def test_event_ops_property_random_streams(ray_session):
+    """Property: both event operators equal a pandas reference on random
+    streams (duplicate timestamps, negative values, single-event users,
+    empty-window gaps)."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = int(rng.integers(50, 400))
+        ts = np.sort(rng.integers(0, 10**10, n)).astype(np.int64)
+        users = rng.integers(0, 12, n).astype(np.int64)
+        types = rng.choice(["a", "b", "c"], n)
+        vals = np.round(rng.normal(0, 10, n), 2)
+        tbl = pa.table({
+            "ts": pa.array(ts, type=pa.int64()),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": pa.array(types.tolist(), type=pa.string()),
+            "value": pa.array(vals, type=pa.float64()),
+        })
+        import pandas as pd
+
+        from rayfts.ops.events import sessionize, tumbling_window_agg
+
+        W = 3600 * 1_000_000
+        df = tbl.to_pandas()
+        df["win"] = (df.ts // W) * W
+        ref_w = (df.groupby(["win", "event_type"])
+                 .agg(n=("value", "size"), s=("value", "sum")).reset_index())
+        got_w = sorted(
+            ((r["window_start_us"], r["event_type"], r["n_events"],
+              round(r["sum_value"], 6))
+             for r in tumbling_window_agg(
+                 ray.data.from_arrow(tbl), window_sec=3600).take_all()))
+        want_w = sorted((int(w), t, int(c), round(s, 6)) for w, t, c, s in
+                        zip(ref_w.win, ref_w.event_type, ref_w.n, ref_w.s))
+        assert got_w == want_w, f"trial {trial}"
+
+        G = 1800 * 1_000_000
+        want_s = []
+        for u, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+            t_arr = g.ts.to_numpy()
+            v_arr = g.value.to_numpy()
+            brk = np.concatenate([[True], np.diff(t_arr) > G])
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], t_arr.size)
+            for s0, e0 in zip(starts, ends):
+                want_s.append((int(u), int(t_arr[s0]), int(e0 - s0),
+                               round(float(v_arr[s0:e0].sum()), 6)))
+        got_s = sorted(
+            ((r["user_id"], r["session_start_us"], r["n_events"],
+              round(r["sum_value"], 6))
+             for r in sessionize(ray.data.from_arrow(tbl),
+                                 gap_sec=1800).take_all()))
+        assert got_s == sorted(want_s), f"trial {trial}"
