@@ -576,8 +576,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def tumbling_window_q(sf):
         """Tumbling-window count+sum over the events stream (pre-aggregated
         partials -> uniform-key reduce, ops/events.py)."""
-        import pyarrow.compute as pc
-
         from rayfts.ops.events import tumbling_window_agg
 
         ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
@@ -600,8 +598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def sessionize_q(sf):
         """Gap-based sessionization (user-partitioned vectorized pass)."""
-        import pyarrow.compute as pc
-
         from rayfts.ops.events import sessionize
 
         ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
