@@ -241,12 +241,16 @@ def _exec_range(q: Range, seg: SegmentReader, stats: GlobalStats) -> Matches:
 
 def _exec_regex(q: Regex, seg: SegmentReader, stats: GlobalStats) -> Matches:
     e = seg.term_dict(q.field)
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     # full-match semantics over the term dictionary (tantivy RegexQuery)
-    mask = pc.match_substring_regex(e["terms_pa"], f"^(?:{q.pattern})$").to_numpy(
-        zero_copy_only=False
-    )
+    try:
+        mask = pc.match_substring_regex(
+            e["terms_pa"], f"^(?:{q.pattern})$"
+        ).to_numpy(zero_copy_only=False)
+    except pa.lib.ArrowInvalid as exc:
+        raise QueryError(f"invalid regex pattern {q.pattern!r}: {exc}") from None
     return _union_ordinals(seg, q.field, np.flatnonzero(mask))
 
 

@@ -437,6 +437,39 @@ def test_parser_fuzz_never_crashes(idx):
     check2()
 
 
+def test_invalid_regex_pattern_is_typed(idx):
+    """An RE2-invalid pattern raises QueryError (not ArrowInvalid) so the
+    bulk-serving error policy can swallow the row instead of the batch."""
+    from rayfts.query.searcher import QueryError
+
+    s = idx.searcher()
+    for bad in ["(", "a{2,1}", "[z-a]", "(?P<", "*"]:
+        with pytest.raises(QueryError):
+            s.search({"query": {"regex": {"body": bad}}, "limit": 3})
+    # valid patterns still work after the failures
+    assert s.search({"query": {"regex": {"body": "bet."}}, "limit": 3}) is not None
+
+
+def test_regex_fuzz_never_crashes(idx):
+    """Arbitrary regex patterns either execute or raise typed QueryError."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.query.parser import QueryParseError
+    from rayfts.query.searcher import QueryError
+
+    s = idx.searcher()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=16))
+    def check(pat):
+        try:
+            s.search({"query": {"regex": {"body": pat}}, "limit": 3})
+        except (QueryParseError, QueryError):
+            pass
+
+    check()
+
+
 def test_dsl_fuzz_never_crashes(idx):
     """Arbitrary JSON-shaped DSL inputs either execute or raise the typed
     QueryParseError/QueryError — KeyError/TypeError escaping the DSL
