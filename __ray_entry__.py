@@ -616,6 +616,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sessionize"] = sessionize_q
 
+    # ---- temporal joins + grouped top-k (oracle-checked; ops/joins.py) ----
+
+    def _events_typed(sf, t):
+        import pyarrow.compute as pc
+
+        return (ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+                .map_batches(
+                    lambda b, _t=t: b.filter(pc.equal(b["event_type"], _t)),
+                    batch_format="pyarrow"))
+
+    def asof_join_q(sf):
+        """Backward-inclusive as-of join: each purchase matched to the
+        user's latest click at-or-before it (hash-partitioned by user,
+        one forward-fill pass per partition)."""
+        from rayfts.ops.joins import asof_join
+
+        out = asof_join(_events_typed(sf, "purchase"),
+                        _events_typed(sf, "click"))
+        return out.sort("id")
+
+    q["asof_join_purchase_click"] = asof_join_q
+
+    def range_join_q(sf):
+        """Key + time-range attribution join: purchases within one day
+        of a signup by the same user (composed-key searchsorted, tiled
+        pair expansion)."""
+        from rayfts.ops.joins import key_range_join
+
+        out = key_range_join(_events_typed(sf, "signup"),
+                             _events_typed(sf, "purchase"),
+                             window_sec=86400)
+        return out.sort(["left_id", "right_id"])
+
+    q["range_join_signup_purchase"] = range_join_q
+
+    def topk_group_q(sf):
+        """Grouped top-k (per-batch combiner -> per-partition head-k):
+        top-5 events by value per event type."""
+        from rayfts.ops.joins import top_k_per_group
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        out = top_k_per_group(ds, "event_type", "value", "event_id", k=5)
+        return out.sort(["event_type", "rank"])
+
+    q["topk_per_group_events"] = topk_group_q
+
     def multimodal_q(sf):
         from rayfts.ops.multimodal import DecodeImage, decode_pipeline, synth_media_table
 
@@ -1105,4 +1151,41 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
 """
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["batch_search"] = _batch_search_sql(limit=5)
+    sql["asof_join_purchase_click"] = """
+WITH u AS (
+  SELECT epoch_us(ts) AS ts_us, user_id, event_id,
+         (event_type = 'purchase') AS is_left
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+o AS (
+  SELECT *,
+    max(CASE WHEN NOT is_left
+             THEN struct_pack(mts := ts_us, mid := event_id) END)
+      OVER (PARTITION BY user_id ORDER BY ts_us, is_left, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lr
+  FROM u
+)
+SELECT event_id AS id, user_id AS key, ts_us,
+       lr.mid AS matched_id, lr.mts AS matched_ts_us,
+       ts_us - lr.mts AS lag_us
+FROM o WHERE is_left AND lr IS NOT NULL ORDER BY id
+"""
+    sql["range_join_signup_purchase"] = """
+SELECT s.event_id AS left_id, p.event_id AS right_id, s.user_id AS key,
+       epoch_us(p.ts) - epoch_us(s.ts) AS delta_us
+FROM events s JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(s.ts)
+ AND epoch_us(p.ts) - epoch_us(s.ts) < 86400000000
+ORDER BY left_id, right_id
+"""
+    sql["topk_per_group_events"] = """
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+    CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS BIGINT) AS rank
+  FROM events)
+WHERE rank <= 5 ORDER BY event_type, rank
+"""
     return sql
