@@ -508,6 +508,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["minhash_dedup_pairs"] = minhash_q
 
+    def corpus_clean_q(sf):
+        """Flagship composed pipeline: quality/langid gate -> exact dedup
+        -> minhash near-dup drop (pair-minimal keep). The input is the
+        documents table unioned with an id-shifted exact copy so the
+        exact-dedup stage is exercised for real."""
+        from rayfts.ops.clean import clean_corpus
+
+        ds = _docs_ds(sf)
+
+        def shift(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index("doc_id")
+            return b.set_column(
+                i, "doc_id",
+                pa.array(b["doc_id"].to_numpy() + 1_000_000, type=pa.int64()))
+
+        inp = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+        return clean_corpus(inp).sort("doc_id")
+
+    q["corpus_clean"] = corpus_clean_q
+
     def simhash_q(sf):
         from rayfts.ops.dedup import simhash_near_dup_pairs
 
@@ -788,7 +808,8 @@ ORDER BY id_a, id_b
 
 
 
-def _minhash_sql(threshold: float = 0.5) -> str:
+def _minhash_sql(threshold: float = 0.5, source: str = "documents",
+                 ctes_only: bool = False) -> str:
     """MinHash-LSH near-dup oracle: the ENTIRE pipeline in SQL — md5 token
     hashes, k=3 rolling shingles (mod-2^64 split multiply), the 64
     (a*x+b) mod 2^61-1 permutations with the engine's exact
@@ -811,12 +832,11 @@ def _minhash_sql(threshold: float = 0.5) -> str:
     band_ok = " AND ".join(
         f"a.sig[4*g.j+{r}] = b.sig[4*g.j+{r}]" for r in (1, 2, 3, 4)
     )
-    return rf"""
-WITH t AS (
+    ctes = rf"""t AS (
   SELECT doc_id,
     [('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT
      for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS hs
-  FROM documents
+  FROM {source}
 ),
 shingles AS (
   SELECT doc_id,
@@ -867,9 +887,13 @@ jac AS (
               / (len(ua) + len(ub) - len(list_intersect(ua, ub)))
     END AS j
   FROM cands
-)
-SELECT id_a, id_b, round_even(j, 6) AS jaccard FROM jac WHERE j >= {threshold} ORDER BY id_a, id_b
-"""
+),
+mh_pairs AS (
+  SELECT id_a, id_b, round_even(j, 6) AS jaccard FROM jac WHERE j >= {threshold}
+)"""
+    if ctes_only:
+        return ctes
+    return f"WITH {ctes} SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"
 
 
 
@@ -1124,6 +1148,60 @@ FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
     sql["fingerprints"] = _fingerprint_sql()
     sql["simhash_near_dup"] = _SIMHASH_SQL
     sql["minhash_dedup_pairs"] = _minhash_sql(threshold=0.5)
+    # composed corpus-cleaning pipeline: the gate predicate is the
+    # quality_stats/langid arithmetic verbatim, exact dedup is min(doc_id)
+    # per text, and the near-dup stage reuses the full minhash CTE chain
+    # parameterized over the exact-dedup survivors
+    great = "greatest(hde, hen, hes, hfr)"
+    sql["corpus_clean"] = rf"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+gt AS (
+  SELECT doc_id, text,
+    [lower(x) for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS gtoks
+  FROM src
+),
+gl AS (
+  SELECT doc_id, text,
+    CAST(len(gtoks) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len([x for x in gtoks if list_contains({lst('en')}, x)]) AS BIGINT) AS n_stop,
+    len([x for x in gtoks if list_contains({lst('de')}, x)]) AS hde,
+    len([x for x in gtoks if list_contains({lst('en')}, x)]) AS hen,
+    len([x for x in gtoks if list_contains({lst('es')}, x)]) AS hes,
+    len([x for x in gtoks if list_contains({lst('fr')}, x)]) AS hfr
+  FROM gt
+),
+gp AS (
+  SELECT *,
+    CASE WHEN {great} = 0 THEN 'und'
+         WHEN hde = {great} THEN 'de'
+         WHEN hen = {great} THEN 'en'
+         WHEN hes = {great} THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM gl
+),
+gated AS (
+  SELECT doc_id, text, lang_pred, n_tokens
+  FROM gp
+  WHERE lang_pred IN ('en')
+    AND n_tokens >= 20
+    AND 100 * n_alpha >= 50 * n_chars
+    AND 100 * n_stop >= 5 * n_tokens
+),
+ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+surv AS (
+  SELECT g.doc_id, g.text, g.lang_pred, g.n_tokens
+  FROM gated g JOIN ex ON ex.doc_id = g.doc_id
+),
+{_minhash_sql(threshold=0.5, source="surv", ctes_only=True)}
+SELECT s.doc_id, s.lang_pred, s.n_tokens FROM surv s
+WHERE s.doc_id NOT IN (SELECT id_b FROM mh_pairs) ORDER BY s.doc_id
+"""
     sql["tumbling_window_agg"] = (
         "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, "
         "event_type, count(*) AS n_events, "

@@ -289,6 +289,13 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
         top_k_per_group(ray.data.read_parquet(ev), "event_type", "value",
                         "event_id", k=5).count()
         out["topk_per_group"] = time.time() - t0
+
+        from rayfts.ops.clean import clean_corpus
+
+        t0 = time.time()
+        clean_corpus(ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"))).count()
+        out["corpus_clean"] = time.time() - t0
     return out
 
 

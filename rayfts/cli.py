@@ -208,6 +208,28 @@ def cmd_dedup_minhash(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Composed corpus clean (gate -> exact dedup -> near-dup drop) ->
+    kept (id, lang_pred, n_tokens) parquet."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.clean import clean_corpus
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    kept = clean_corpus(
+        ray.data.read_parquet(paths), col=args.col, id_col=args.id_col,
+        langs=tuple(args.langs.split(",")), min_tokens=args.min_tokens,
+        alpha_pct=args.alpha_pct, stop_pct=args.stop_pct,
+        jaccard_threshold=args.threshold,
+    )
+    kept.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "kept": kept.count()}))
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     """Build a persisted IVF store (cluster-partitioned parquet + meta)."""
     _ensure_ray()
@@ -413,6 +435,20 @@ def main(argv: list[str] | None = None) -> int:
     dm.add_argument("--k", type=int, default=3)
     dm.add_argument("--threshold", type=float, default=0.7)
     dm.set_defaults(fn=cmd_dedup_minhash)
+
+    cl = sub.add_parser("clean",
+                        help="composed corpus clean: quality/langid gate + "
+                             "exact dedup + minhash near-dup drop")
+    cl.add_argument("--input", nargs="+", required=True)
+    cl.add_argument("--col", default="content")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--langs", default="en")
+    cl.add_argument("--min-tokens", type=int, default=20)
+    cl.add_argument("--alpha-pct", type=int, default=50)
+    cl.add_argument("--stop-pct", type=int, default=5)
+    cl.add_argument("--threshold", type=float, default=0.5)
+    cl.set_defaults(fn=cmd_clean)
 
     ab = sub.add_parser("ann-build",
                         help="build a persisted IVF vector store")
