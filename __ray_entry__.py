@@ -528,6 +528,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["corpus_clean"] = corpus_clean_q
 
+    def sample_uniform_q(sf):
+        """Deterministic 10% hash sample (splitmix64(id^seed) threshold):
+        stateless per-batch filter, reproducible across runs/resumes."""
+        from rayfts.ops.sample import deterministic_sample
+
+        out = deterministic_sample(_docs_ds(sf), 10, 100)
+        return out.select_columns(["doc_id"]).sort("doc_id")
+
+    q["sample_uniform"] = sample_uniform_q
+
+    def sample_stratified_q(sf):
+        """Deterministic 5-per-language sample: smallest-k id-hashes per
+        group, two-phase (per-batch combiner -> per-partition head-k)."""
+        from rayfts.ops.sample import stratified_sample_k
+
+        out = stratified_sample_k(_docs_ds(sf), "lang", "doc_id", k=5)
+        return out.sort(["lang", "doc_id"])
+
+    q["sample_stratified"] = sample_stratified_q
+
     def simhash_q(sf):
         from rayfts.ops.dedup import simhash_near_dup_pairs
 
@@ -741,6 +761,28 @@ def _mulmod64_sql(a_expr: str, p: int) -> str:
             f"+ ((CAST({a_expr} % 4294967296 AS HUGEINT) * {ph} "
             f"+ CAST({a_expr} // 4294967296 AS HUGEINT) * {pl}) % 4294967296) * 4294967296"
             f") % 18446744073709551616)")
+
+
+def _splitmix_ctes(source: str, x_expr: str, seed: int = 42) -> str:
+    """CTE chain computing ``h = splitmix64(x_expr XOR seed)`` (exact
+    mod-2^64 arithmetic, mirroring rayfts/ops/sample.py:splitmix64) over
+    ``source``; the final CTE is ``smh`` = source columns + ``h``.
+    Stepwise CTEs keep the expression linear (the naive inline expansion
+    re-substitutes the input ~4^3 times)."""
+    M = 1 << 64
+
+    def xs(z_expr: str, s: int) -> str:
+        return (f"CAST(xor(CAST(({z_expr}) AS UBIGINT), "
+                f"CAST(({z_expr}) // {1 << s} AS UBIGINT)) AS HUGEINT)")
+
+    z0 = (f"((CAST(xor(CAST({x_expr} AS UBIGINT), CAST({seed} AS UBIGINT)) "
+          f"AS HUGEINT) + 11400714819323198485) % {M})")
+    z1 = _mulmod64_sql(xs("z0", 30), 0xBF58476D1CE4E5B9)
+    z2 = _mulmod64_sql(xs("z1", 27), 0x94D049BB133111EB)
+    return (f"sm0 AS (SELECT *, {z0} AS z0 FROM {source}),\n"
+            f"sm1 AS (SELECT *, {z1} AS z1 FROM sm0),\n"
+            f"sm2 AS (SELECT *, {z2} AS z2 FROM sm1),\n"
+            f"smh AS (SELECT * EXCLUDE (z0, z1, z2), {xs('z2', 31)} AS h FROM sm2)")
 
 
 def _fingerprint_sql() -> str:
@@ -1152,6 +1194,20 @@ FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
     # quality_stats/langid arithmetic verbatim, exact dedup is min(doc_id)
     # per text, and the near-dup stage reuses the full minhash CTE chain
     # parameterized over the exact-dedup survivors
+    thr_10pct = (10 << 64) // 100  # exact integer threshold, both sides
+    sql["sample_uniform"] = f"""
+WITH {_splitmix_ctes("documents", "doc_id")}
+SELECT doc_id FROM smh WHERE h < {thr_10pct} ORDER BY doc_id
+"""
+    sql["sample_stratified"] = f"""
+WITH {_splitmix_ctes("documents", "doc_id")},
+r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM smh
+)
+SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+"""
     great = "greatest(hde, hen, hes, hfr)"
     sql["corpus_clean"] = rf"""
 WITH src AS (

@@ -230,6 +230,29 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic hash sample (uniform rate or stratified k-per-group)
+    -> parquet."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.sample import deterministic_sample, stratified_sample_k
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    ds = ray.data.read_parquet(paths)
+    if args.group_col:
+        out = stratified_sample_k(ds, args.group_col, args.id_col,
+                                  k=args.k, seed=args.seed)
+    else:
+        out = deterministic_sample(ds, args.rate_num, args.rate_den,
+                                   id_col=args.id_col, seed=args.seed)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_ann_build(args) -> int:
     """Build a persisted IVF store (cluster-partitioned parquet + meta)."""
     _ensure_ray()
@@ -449,6 +472,19 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--stop-pct", type=int, default=5)
     cl.add_argument("--threshold", type=float, default=0.5)
     cl.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("sample",
+                        help="deterministic hash sample (uniform rate, or "
+                             "k-per-group with --group-col)")
+    sp.add_argument("--input", nargs="+", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--rate-num", type=int, default=10)
+    sp.add_argument("--rate-den", type=int, default=100)
+    sp.add_argument("--group-col", default=None)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_sample)
 
     ab = sub.add_parser("ann-build",
                         help="build a persisted IVF vector store")

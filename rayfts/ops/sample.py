@@ -1,0 +1,120 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling at 100 TB must be (a) a stateless per-batch filter —
+no shuffle, no driver round-trip, no RNG state shared across tasks —
+and (b) reproducible: re-running the pipeline (or resuming a failed
+partition) must keep exactly the same rows. Both follow from hashing a
+stable row id instead of drawing random numbers: every task computes
+``splitmix64(id XOR seed)`` independently and compares it to a fixed
+threshold.
+
+Operators:
+
+- :func:`deterministic_sample` — uniform ``num/den`` rate sample, one
+  vectorized ``map_batches`` filter, zero wide edges;
+- :func:`stratified_sample_k` — exactly ``min(k, |group|)`` rows per
+  group, chosen as the k SMALLEST id-hashes (a uniform draw without
+  replacement); two-phase like ``top_k_per_group``: a per-batch
+  combiner truncates every group to k rows before the single
+  uniform-hash exchange, so even a giant group crosses the shuffle as
+  ``k × #batches`` rows.
+
+splitmix64 is a public-domain mixer (Steele, Lea & Flood, "Fast
+splittable pseudorandom number generators", OOPSLA 2014); its
+arithmetic (add / xor-shift / two mod-2^64 multiplies) is exactly
+reproducible in DuckDB HUGEINT SQL, which is what makes both samplers
+hash-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rayfts.ops.joins import _seg_start_per_row
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (mod-2^64 wrapping)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) ^ np.uint64(seed)
+        z = z + _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def deterministic_sample(ds, num: int, den: int,
+                         id_col: str = "doc_id", seed: int = 42):
+    """Keep each row iff ``splitmix64(id ^ seed) < num/den * 2^64``.
+
+    Exact integer threshold (no float rate), so the kept set is a pure
+    function of (id, seed, num, den) — stable across runs, resumes,
+    partitionings, and reproducible in SQL.
+    """
+    if not (0 <= num <= den) or den <= 0:
+        raise ValueError("sample rate must satisfy 0 <= num <= den, den > 0")
+    thr = (num << 64) // den  # floor((num/den) * 2^64), exact
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64), seed)
+        if thr >= 1 << 64:
+            return batch
+        return batch.filter(pa.array(h < np.uint64(thr)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample_k(ds, group_col: str, id_col: str = "doc_id",
+                        k: int = 10, seed: int = 42, num_parts: int = 32):
+    """Deterministic k-per-group sample ->
+    Dataset(<group_col>, <id_col>) — the ``min(k, |group|)`` rows with
+    the smallest ``splitmix64(id ^ seed)`` per group (uniform without
+    replacement; ties on the 64-bit hash broken by id).
+
+    Same two-phase shape as ``top_k_per_group``: per-batch combiner
+    truncates to k rows per (group, batch) BEFORE the exchange; the
+    per-partition finalizer re-runs the identical pass.
+    """
+    import pandas as pd
+
+    def schema_empty(with_part: bool) -> pa.Table:
+        cols = {
+            group_col: pa.array([], type=pa.string()),
+            id_col: pa.array([], type=pa.int64()),
+        }
+        if with_part:
+            cols["part"] = pa.array([], type=pa.int32())
+        return pa.table(cols)
+
+    def head_k(b: pa.Table, with_part: bool) -> pa.Table:
+        if b.num_rows == 0:
+            return schema_empty(with_part)
+        denc = b[group_col].combine_chunks().dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64), seed)
+        order = np.lexsort((ids, h, codes))
+        c = codes[order]
+        rank = np.arange(c.size, dtype=np.int64) - _seg_start_per_row(c)
+        kept = order[rank < k]
+        cols = {
+            group_col: pa.array(groups[codes[kept]].tolist(),
+                                type=pa.string()),
+            id_col: pa.array(ids[kept], type=pa.int64()),
+        }
+        if with_part:
+            hp = pd.util.hash_array(groups[codes[kept]])
+            cols["part"] = pa.array((hp % np.uint64(num_parts)).astype(np.int32))
+        return pa.table(cols)
+
+    return (ds.map_batches(lambda b: head_k(b, True), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: head_k(g.drop_columns(["part"]), False),
+                        batch_format="pyarrow"))
