@@ -548,6 +548,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sample_stratified"] = sample_stratified_q
 
+    def distinct_users_q(sf):
+        """Exact distributed distinct count (local unique -> hash
+        groupby; only distinct values cross the exchange)."""
+        from rayfts.ops.sketch import count_distinct
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        return _single_count(count_distinct(ds, "user_id"))
+
+    q["distinct_users"] = distinct_users_q
+
+    def hll_distinct_q(sf):
+        """HyperLogLog approximate distinct users (p=14, ~0.8% SE);
+        mergeable fixed-size registers, deterministic — no SQL oracle
+        (approximate by design), error-bound pytest instead."""
+        from rayfts.ops.sketch import approx_distinct
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        est = approx_distinct(ds, "user_id", p=14)
+        return pa.table({"estimate": pa.array([round(est, 3)],
+                                              type=pa.float64())})
+
+    q["hll_distinct_users"] = hll_distinct_q
+
     def simhash_q(sf):
         from rayfts.ops.dedup import simhash_near_dup_pairs
 
@@ -1194,6 +1217,9 @@ FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
     # quality_stats/langid arithmetic verbatim, exact dedup is min(doc_id)
     # per text, and the near-dup stage reuses the full minhash CTE chain
     # parameterized over the exact-dedup survivors
+    sql["distinct_users"] = (
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS cnt FROM events"
+    )
     thr_10pct = (10 << 64) // 100  # exact integer threshold, both sides
     sql["sample_uniform"] = f"""
 WITH {_splitmix_ctes("documents", "doc_id")}
