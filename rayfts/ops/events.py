@@ -29,7 +29,9 @@ import pyarrow as pa
 def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_timestamp(arr.type):
-        arr = arr.cast(pa.int64())
+        # normalize the unit: a ns-resolution source (e.g. pandas
+        # datetime64[ns]) must not leak ns values into the us domain
+        arr = arr.cast(pa.timestamp("us", tz=arr.type.tz)).cast(pa.int64())
     return arr.to_numpy(zero_copy_only=False).astype(np.int64)
 
 

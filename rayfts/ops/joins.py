@@ -79,6 +79,14 @@ def _seg_start_per_row(keys: np.ndarray) -> np.ndarray:
     return np.repeat(starts, np.diff(np.append(starts, n)))
 
 
+def _pair_seg_start(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Run-start index per row for rows sorted by the (a, b) pair."""
+    n = a.size
+    is_start = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    starts = np.flatnonzero(is_start)
+    return np.repeat(starts, np.diff(np.append(starts, n)))
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -87,6 +95,7 @@ def asof_join(
     left_id: str = "event_id",
     right_id: str = "event_id",
     num_parts: int = 64,
+    hot_key_chunk_sec: int | None = None,
 ):
     """Backward-inclusive as-of join ->
     Dataset(id, key, ts_us, matched_id, matched_ts_us, lag_us).
@@ -101,7 +110,16 @@ def asof_join(
     ``np.maximum.accumulate`` forward-fill of the last-right index; a
     match is valid iff that index falls inside the row's own key
     segment. O(n log n) per partition, zero per-row Python.
+
+    ``hot_key_chunk_sec`` switches to the two-phase hot-key-safe plan
+    (:func:`_asof_join_chunked`): partition by (key, time-chunk) instead
+    of key, with a small boundary-state pre-pass — use it when a single
+    key's stream can exceed one task's memory.
     """
+    if hot_key_chunk_sec is not None:
+        return _asof_join_chunked(
+            left_ds, right_ds, key_col, ts_col, left_id, right_id,
+            num_parts, int(hot_key_chunk_sec) * 1_000_000)
     lt = _tagged(left_ds, key_col, ts_col, left_id, side=1,
                  num_parts=num_parts)
     rt = _tagged(right_ds, key_col, ts_col, right_id, side=0,
@@ -145,6 +163,219 @@ def asof_join(
         })
 
     return (lt.union(rt)
+            .groupby("part")
+            .map_groups(join_part, batch_format="pyarrow"))
+
+
+_TS_SENTINEL = np.int64(-(1 << 62))
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _kc_part(keys: np.ndarray, chunks: np.ndarray,
+             num_parts: int) -> np.ndarray:
+    from rayfts.ops.sample import splitmix64
+
+    with np.errstate(over="ignore"):
+        mix = keys.astype(np.uint64) * _GOLD + chunks.astype(np.uint64)
+    return (splitmix64(mix) % np.uint64(num_parts)).astype(np.int32)
+
+
+def _asof_join_chunked(left_ds, right_ds, key_col, ts_col, left_id,
+                       right_id, num_parts, chunk_us, key_parts: int = 32):
+    """Hot-key-safe as-of join: identical results to the plain plan, but
+    a single key's stream is split across time chunks so no task ever
+    holds more than one (key, chunk) worth of rows.
+
+    Two phases:
+
+    1. **Boundary pre-pass** (small data): per (key, chunk) aggregate —
+       max right (ts, id) in the chunk + a has-left flag — reduced per
+       batch first (at most one row per (key, chunk) per batch crosses
+       the exchange), then grouped by key so one vectorized pass
+       computes, for every chunk that contains left rows, the best
+       right event of all STRICTLY EARLIER chunks ("carry"). Carries
+       are emitted as synthetic right rows addressed to that (key,
+       chunk) partition, keeping their real (ts, id) for the output.
+    2. **Main exchange**: both sides + carries partitioned by
+       hash(key, chunk); the per-partition pass is the same
+       lexsort + forward-fill, with (key, chunk) as the segment key
+       (a carry's ts precedes the chunk's own rows, so it sorts first
+       inside its segment and seeds the fill exactly like the
+       predecessor rows it summarizes).
+
+    Equivalence to the plain plan is property-tested
+    (tests/test_joins.py).
+    """
+    CU = np.int64(chunk_us)
+
+    def tag(side):
+        def _t(b: pa.Table) -> pa.Table:
+            keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = _epoch_us(b[ts_col])
+            ids = (b[left_id if side == 1 else right_id]
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+            chunk = ts // CU
+            return pa.table({
+                "key": pa.array(keys, type=pa.int64()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "id": pa.array(ids, type=pa.int64()),
+                "side": pa.array(np.full(keys.size, side, dtype=np.int8)),
+                "chunk": pa.array(chunk, type=pa.int64()),
+                "part": pa.array(_kc_part(keys, chunk, num_parts)),
+            })
+
+        return _t
+
+    lt = left_ds.map_batches(tag(1), batch_format="pyarrow")
+    rt = right_ds.map_batches(tag(0), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def _carry_schema(with_kpart: bool) -> dict:
+        cols = {
+            "key": pa.array([], type=pa.int64()),
+            "chunk": pa.array([], type=pa.int64()),
+            "rts": pa.array([], type=pa.int64()),
+            "rid": pa.array([], type=pa.int64()),
+            "hl": pa.array([], type=pa.int8()),
+        }
+        if with_kpart:
+            cols["kpart"] = pa.array([], type=pa.int32())
+        return cols
+
+    def boundary_partial(b: pa.Table) -> pa.Table:
+        """One row per (key, chunk) in the batch: max right (ts, id)
+        (sentinel if no rights) + any-left flag."""
+        if b.num_rows == 0:
+            return pa.table(_carry_schema(True))
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["chunk"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        s = b["side"].to_numpy(zero_copy_only=False)
+        is_r = (s == 0).astype(np.int8)
+        # rights sort AFTER lefts inside a (key, chunk) run, ascending by
+        # (ts, id) -> the run's last row is its max right, if any
+        order = np.lexsort((ids, ts, is_r, c, k))
+        k, c, ts, ids, is_r = k[order], c[order], ts[order], ids[order], is_r[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (k[1:] != k[:-1]) | (c[1:] != c[:-1])]))
+        last = np.append(starts[1:], k.size) - 1
+        has_r = is_r[last] == 1
+        return pa.table({
+            "key": pa.array(k[starts], type=pa.int64()),
+            "chunk": pa.array(c[starts], type=pa.int64()),
+            "rts": pa.array(np.where(has_r, ts[last], _TS_SENTINEL),
+                            type=pa.int64()),
+            "rid": pa.array(np.where(has_r, ids[last], -1), type=pa.int64()),
+            "hl": pa.array(np.maximum.reduceat(1 - is_r, starts).astype(np.int8)),
+            "kpart": pa.array(_part_of(k[starts], key_parts)),
+        })
+
+    def boundary_fill(g: pa.Table) -> pa.Table:
+        """All (key, chunk) aggregates of these keys -> carry rows (the
+        best right of strictly earlier chunks) for every chunk that has
+        left rows. Vectorized: consolidate duplicate (key, chunk) rows,
+        rank rows by (rts, rid), segment-reset running max via the
+        rank + seg_id*(n+1) offset trick, shift by one within the key."""
+        empty = pa.table({
+            "key": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "id": pa.array([], type=pa.int64()),
+            "side": pa.array([], type=pa.int8()),
+            "chunk": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int32()),
+        })
+        if g.num_rows == 0:
+            return empty
+        k = g["key"].to_numpy(zero_copy_only=False)
+        c = g["chunk"].to_numpy(zero_copy_only=False)
+        rts = g["rts"].to_numpy(zero_copy_only=False)
+        rid = g["rid"].to_numpy(zero_copy_only=False)
+        hl = g["hl"].to_numpy(zero_copy_only=False)
+        # consolidate per-batch partials: last of each (key, chunk) run
+        # is the max (rts, rid) (sentinels sort first), flags OR-reduce
+        order = np.lexsort((rid, rts, c, k))
+        k, c, rts, rid, hl = (k[order], c[order], rts[order], rid[order],
+                              hl[order])
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (k[1:] != k[:-1]) | (c[1:] != c[:-1])]))
+        last = np.append(starts[1:], k.size) - 1
+        k, c = k[starts], c[starts]
+        rts, rid = rts[last], rid[last]
+        hl = np.maximum.reduceat(hl, starts)
+        n = k.size
+        # rows are (key, chunk)-sorted; seg_id numbers each key's run
+        key_change = np.concatenate([[True], k[1:] != k[:-1]])
+        seg_id = np.cumsum(key_change) - 1
+        # rank rows by (rts, rid); offset by seg_id*(n+1) so a running
+        # max never carries across keys (all prior-key values are smaller)
+        order2 = np.lexsort((rid, rts))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order2] = np.arange(n, dtype=np.int64)
+        acc = np.maximum.accumulate(rank + seg_id * np.int64(n + 1))
+        prev_acc = np.concatenate([[np.int64(-1)], acc[:-1]])
+        best_prev = order2[np.maximum(prev_acc - seg_id * np.int64(n + 1), 0)]
+        valid = (~key_change) & (hl == 1) & (rts[best_prev] > _TS_SENTINEL)
+        idx = np.flatnonzero(valid)
+        if idx.size == 0:
+            return empty
+        src = best_prev[idx]
+        return pa.table({
+            "key": pa.array(k[idx], type=pa.int64()),
+            "ts_us": pa.array(rts[src], type=pa.int64()),
+            "id": pa.array(rid[src], type=pa.int64()),
+            "side": pa.array(np.zeros(idx.size, dtype=np.int8)),
+            "chunk": pa.array(c[idx], type=pa.int64()),
+            "part": pa.array(_kc_part(k[idx], c[idx], num_parts)),
+        })
+
+    carries = (both.map_batches(boundary_partial, batch_format="pyarrow")
+               .groupby("kpart")
+               .map_groups(boundary_fill, batch_format="pyarrow"))
+
+    def join_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id": pa.array([], type=pa.int64()),
+            "key": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "matched_id": pa.array([], type=pa.int64()),
+            "matched_ts_us": pa.array([], type=pa.int64()),
+            "lag_us": pa.array([], type=pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        chunk = g["chunk"].to_numpy(zero_copy_only=False)
+        # chunk sorts BEFORE ts: a carry's real ts can fall inside an
+        # earlier chunk's range when hash collisions co-locate two
+        # chunks of one key in this partition
+        order = np.lexsort((ids, side, ts, chunk, keys))
+        k, t, i, s, c = (keys[order], ts[order], ids[order], side[order],
+                         chunk[order])
+        n = k.size
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(s == 0, idx, -1))
+        seg_start = _pair_seg_start(k, c)
+        is_left = s == 1
+        m = last_right[is_left]
+        valid = m >= seg_start[is_left]
+        if not valid.any():
+            return empty
+        li = np.flatnonzero(is_left)[valid]
+        m = m[valid]
+        return pa.table({
+            "id": pa.array(i[li], type=pa.int64()),
+            "key": pa.array(k[li], type=pa.int64()),
+            "ts_us": pa.array(t[li], type=pa.int64()),
+            "matched_id": pa.array(i[m], type=pa.int64()),
+            "matched_ts_us": pa.array(t[m], type=pa.int64()),
+            "lag_us": pa.array(t[li] - t[m], type=pa.int64()),
+        })
+
+    return (both.union(carries)
             .groupby("part")
             .map_groups(join_part, batch_format="pyarrow"))
 

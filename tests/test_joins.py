@@ -203,3 +203,59 @@ def test_joins_property_random_streams(ray_session):
                     ray.data.from_arrow(lt), ray.data.from_arrow(rt),
                     window_sec=1_000, tile_pairs=tile).take_all())
             assert got_r == want_r, f"range trial {trial} tile {tile}"
+
+
+def test_asof_chunked_equals_plain(ray_session):
+    """Hot-key-safe two-phase plan (hash(key, time-chunk) partitioning +
+    boundary-state carries) returns EXACTLY the plain plan's rows —
+    random streams including one hot key holding half of all events,
+    chunk small enough that every key spans many chunks."""
+    from rayfts.ops.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 1500, 1500
+    # keys 0..9; key 0 is hot (p=0.5); timestamps over ~200 chunk widths
+    pk = np.array([0.5] + [0.5 / 9] * 9)
+
+    def mk(n, base):
+        return pd.DataFrame({
+            "event_id": np.arange(base, base + n, dtype=np.int64),
+            "user_id": rng.choice(10, size=n, p=pk).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 200 * 7 * 1_000_000, size=n), unit="us"),
+        })
+    left, right = mk(n_l, 0), mk(n_r, 1_000_000)
+    lds = ray.data.from_pandas(left).repartition(7)
+    rds = ray.data.from_pandas(right).repartition(5)
+
+    plain = (asof_join(lds, rds).to_pandas()
+             .sort_values("id").reset_index(drop=True))
+    chunked = (asof_join(lds, rds, hot_key_chunk_sec=7).to_pandas()
+               .sort_values("id").reset_index(drop=True))
+    assert plain.equals(chunked[plain.columns]), (
+        len(plain), len(chunked))
+    assert len(plain) > 0
+
+
+def test_asof_chunked_carry_across_empty_chunks(ray_session):
+    """A left chunk with no rights anywhere near it still matches a
+    right event many empty chunks earlier (the boundary carry must
+    target LEFT chunks, not just chunks that contain rights)."""
+    from rayfts.ops.joins import asof_join
+
+    left = pd.DataFrame({
+        "event_id": np.array([1, 2], dtype=np.int64),
+        "user_id": np.array([5, 5], dtype=np.int64),
+        "ts": pd.to_datetime([900_000_000, 901_000_000], unit="us"),
+    })
+    right = pd.DataFrame({
+        "event_id": np.array([77], dtype=np.int64),
+        "user_id": np.array([5], dtype=np.int64),
+        "ts": pd.to_datetime([3_000_000], unit="us"),  # ~897 s earlier
+    })
+    out = (asof_join(ray.data.from_pandas(left),
+                     ray.data.from_pandas(right), hot_key_chunk_sec=1)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out.id.tolist() == [1, 2]
+    assert out.matched_id.tolist() == [77, 77]
+    assert (out.matched_ts_us == 3_000_000).all()
