@@ -107,6 +107,7 @@ def sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
     num_parts: int = 64,
+    hot_user_chunk_sec: int | None = None,
 ):
     """Gap-based sessionization ->
     Dataset(user_id, session_start_us, n_events, sum_value).
@@ -114,7 +115,17 @@ def sessionize(
     A session breaks when the within-user gap EXCEEDS ``gap_sec``.
     Events co-locate by ``hash(user) % num_parts`` (the only partitioning
     assumption: one user's events fit one task — user streams are tiny
-    relative to partitions)."""
+    relative to partitions).
+
+    ``hot_user_chunk_sec`` switches to the two-phase hot-user-safe plan
+    (:func:`_sessionize_chunked`): partition by (user, time-chunk), emit
+    per-chunk session SUMMARIES, and stitch boundary-crossing sessions
+    in a second small pass — use it when one user's stream can exceed a
+    task's memory."""
+    if hot_user_chunk_sec is not None:
+        return _sessionize_chunked(
+            ds, gap_sec, user_col, ts_col, value_col, num_parts,
+            int(hot_user_chunk_sec) * 1_000_000)
     G = np.int64(gap_sec * 1_000_000)
 
     def tag(b: pa.Table) -> pa.Table:
@@ -160,4 +171,123 @@ def sessionize(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("part")
         .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+def _sessionize_chunked(ds, gap_sec, user_col, ts_col, value_col,
+                        num_parts, chunk_us, key_parts: int = 32):
+    """Hot-user-safe sessionization: identical results to the plain
+    plan, with no task ever holding more than one (user, time-chunk) of
+    raw events.
+
+    1. **Local pass**: partition by hash(user, chunk); each task
+       sessionizes its chunk and emits one SUMMARY row per local
+       session (user, start_us, end_us, n, sum). Sessions are confined
+       to their chunk, so summaries of one user occupy disjoint time
+       ranges — the data volume drops from #events to #sessions here.
+    2. **Stitch pass** (small data): summaries grouped by hash(user);
+       one vectorized pass sorts by (user, start) and MERGES adjacent
+       summaries whose gap (next.start - prev.end) is within
+       ``gap_sec`` — exactly the boundary-crossing sessions, including
+       chains spanning many chunks (cumsum over break flags). Two
+       sessions from the same chunk never merge (their local gap
+       already exceeded the threshold), so stitching is pure
+       re-aggregation, never re-splitting.
+    """
+    G = np.int64(gap_sec * 1_000_000)
+    CU = np.int64(chunk_us)
+
+    def tag(b: pa.Table) -> pa.Table:
+        from rayfts.ops.joins import _kc_part
+
+        users = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _epoch_us(b[ts_col])
+        chunk = ts // CU
+        return pa.table({
+            user_col: pa.array(users, type=pa.int64()),
+            "__ts": pa.array(ts, type=pa.int64()),
+            "__val": pa.array(
+                b[value_col].to_numpy(zero_copy_only=False)
+                .astype(np.float64)),
+            "part": pa.array(_kc_part(users, chunk, num_parts)),
+        })
+
+    def _summary_empty() -> pa.Table:
+        return pa.table({
+            user_col: pa.array([], type=pa.int64()),
+            "start_us": pa.array([], type=pa.int64()),
+            "end_us": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "sum_value": pa.array([], type=pa.float64()),
+            "kpart": pa.array([], type=pa.int32()),
+        })
+
+    def local_sessions(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _summary_empty()
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        vals = g["__val"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users))
+        u, t, v = users[order], ts[order], vals[order]
+        # ALWAYS break at chunk boundaries, even when the cross-chunk gap
+        # is small: a task can hold NON-adjacent chunks of one user
+        # (hash spread), and pre-merging those would emit overlapping
+        # summaries that defeat the stitch pass's prev-row gap test.
+        # Chunk-confined summaries are disjoint, so the stitch is exact.
+        c = t // CU
+        brk = np.concatenate(
+            [[True],
+             (u[1:] != u[:-1]) | (c[1:] != c[:-1]) | (t[1:] - t[:-1] > G)])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], u.size)
+        vcum = np.concatenate([[0.0], np.cumsum(v)])
+        su = u[starts]
+        return pa.table({
+            user_col: pa.array(su, type=pa.int64()),
+            "start_us": pa.array(t[starts], type=pa.int64()),
+            "end_us": pa.array(t[ends - 1], type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "sum_value": pa.array(vcum[ends] - vcum[starts],
+                                  type=pa.float64()),
+            "kpart": pa.array((su.astype(np.uint64)
+                               % np.uint64(key_parts)).astype(np.int32)),
+        })
+
+    def stitch(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            user_col: pa.array([], type=pa.int64()),
+            "session_start_us": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "sum_value": pa.array([], type=pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        u = g[user_col].to_numpy(zero_copy_only=False)
+        s = g["start_us"].to_numpy(zero_copy_only=False)
+        e = g["end_us"].to_numpy(zero_copy_only=False)
+        n = g["n_events"].to_numpy(zero_copy_only=False)
+        v = g["sum_value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, s, e, n, v = u[order], s[order], e[order], n[order], v[order]
+        prev_end = np.concatenate([[np.int64(-(1 << 62))], e[:-1]])
+        brk = np.concatenate([[True], u[1:] != u[:-1]]) | (s - prev_end > G)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], u.size)
+        ncum = np.concatenate([[0], np.cumsum(n)])
+        vcum = np.concatenate([[0.0], np.cumsum(v)])
+        return pa.table({
+            user_col: pa.array(u[starts], type=pa.int64()),
+            "session_start_us": pa.array(s[starts], type=pa.int64()),
+            "n_events": pa.array(ncum[ends] - ncum[starts], type=pa.int64()),
+            "sum_value": pa.array(vcum[ends] - vcum[starts],
+                                  type=pa.float64()),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(local_sessions, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(stitch, batch_format="pyarrow")
     )

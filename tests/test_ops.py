@@ -822,3 +822,57 @@ def test_event_ops_property_random_streams(ray_session):
              for r in sessionize(ray.data.from_arrow(tbl),
                                  gap_sec=1800).take_all()))
         assert got_s == sorted(want_s), f"trial {trial}"
+
+
+def test_sessionize_chunked_equals_plain(ray_session):
+    """Hot-user-safe two-phase sessionization (per-(user, time-chunk)
+    local summaries + boundary stitch) equals the plain plan on random
+    streams with a hot user and many boundary-spanning sessions."""
+    import pandas as pd
+
+    from rayfts.ops.events import sessionize
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    pk = np.array([0.5] + [0.5 / 9] * 9)
+    df = pd.DataFrame({
+        "user_id": rng.choice(10, size=n, p=pk).astype(np.int64),
+        # dense in time so many sessions straddle the 5 s chunk width
+        "ts": pd.to_datetime(np.sort(rng.integers(
+            0, 120 * 1_000_000, size=n)), unit="us"),
+        "value": rng.normal(size=n),
+    })
+    import ray
+
+    ds = ray.data.from_pandas(df).repartition(9)
+    plain = (sessionize(ds, gap_sec=2).to_pandas()
+             .sort_values(["user_id", "session_start_us"])
+             .reset_index(drop=True))
+    chunked = (sessionize(ds, gap_sec=2, hot_user_chunk_sec=5).to_pandas()
+               .sort_values(["user_id", "session_start_us"])
+               .reset_index(drop=True))
+    assert len(plain) > 50  # the stream really has many sessions
+    pd.testing.assert_frame_equal(plain, chunked[plain.columns])
+
+
+def test_sessionize_chunked_session_spans_many_chunks(ray_session):
+    """One unbroken session crossing many chunk boundaries stitches back
+    into a single output row (chain merge, not just pairwise)."""
+    import pandas as pd
+
+    import ray
+
+    from rayfts.ops.events import sessionize
+
+    ts = np.arange(0, 50_000_000, 1_000_000, dtype=np.int64)  # 1 s apart
+    df = pd.DataFrame({
+        "user_id": np.zeros(ts.size, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "value": np.ones(ts.size),
+    })
+    out = (sessionize(ray.data.from_pandas(df), gap_sec=2,
+                      hot_user_chunk_sec=3).to_pandas())
+    assert len(out) == 1
+    assert out.n_events.iloc[0] == ts.size
+    assert out.sum_value.iloc[0] == float(ts.size)
+    assert out.session_start_us.iloc[0] == 0
