@@ -679,6 +679,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sessionize"] = sessionize_q
 
+    def sessionize_hot_q(sf):
+        """Same sessionization, two-phase hot-user-safe plan (chunk-
+        confined summaries + boundary stitch) — bit-identical output,
+        same SQL oracle."""
+        from rayfts.ops.events import sessionize
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        out = sessionize(ds, gap_sec=1800, hot_user_chunk_sec=6 * 3600)
+
+        def shape(b: pa.Table) -> pa.Table:
+            cents = np.round(
+                b["sum_value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return b.set_column(
+                b.column_names.index("sum_value"), "sum_value_cents",
+                pa.array(cents, type=pa.int64()))
+
+        return (out.map_batches(shape, batch_format="pyarrow")
+                .sort(["user_id", "session_start_us"]))
+
+    q["sessionize_hot_safe"] = sessionize_hot_q
+
     # ---- temporal joins + grouped top-k (oracle-checked; ops/joins.py) ----
 
     def _events_typed(sf, t):
@@ -700,6 +722,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort("id")
 
     q["asof_join_purchase_click"] = asof_join_q
+
+    def asof_join_hot_q(sf):
+        """Same join, two-phase hot-key-safe plan (hash(key, time-chunk)
+        partitioning + boundary-state carries) — must be bit-identical
+        to the plain plan, so it shares the same SQL oracle."""
+        from rayfts.ops.joins import asof_join
+
+        out = asof_join(_events_typed(sf, "purchase"),
+                        _events_typed(sf, "click"),
+                        hot_key_chunk_sec=6 * 3600)
+        return out.sort("id")
+
+    q["asof_join_hot_safe"] = asof_join_hot_q
 
     def range_join_q(sf):
         """Key + time-range attribution join: purchases within one day
@@ -1311,6 +1346,9 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
 """
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["batch_search"] = _batch_search_sql(limit=5)
+    # the hot-safe two-phase plans must be bit-identical to the plain
+    # plans, so they share the same oracles
+    sql["sessionize_hot_safe"] = sql["sessionize"]
     sql["asof_join_purchase_click"] = """
 WITH u AS (
   SELECT epoch_us(ts) AS ts_us, user_id, event_id,
@@ -1340,6 +1378,7 @@ FROM events s JOIN events p
  AND epoch_us(p.ts) - epoch_us(s.ts) < 86400000000
 ORDER BY left_id, right_id
 """
+    sql["asof_join_hot_safe"] = sql["asof_join_purchase_click"]
     sql["topk_per_group_events"] = """
 SELECT event_type, rank, event_id, value FROM (
   SELECT event_type, event_id, value,
