@@ -548,6 +548,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sample_stratified"] = sample_stratified_q
 
+    def dup_spans_q(sf):
+        """Exact duplicated-substring spans (Lee-et-al-style ExactSubstr,
+        distributed as an 8-token rolling-hash window exchange): maximal
+        merged token spans whose windows occur in >= 2 distinct docs."""
+        from rayfts.ops.substr import duplicated_spans
+
+        out = duplicated_spans(_docs_ds(sf), min_len=8)
+        return out.sort(["doc_id", "span_start"])
+
+    q["dup_spans"] = dup_spans_q
+
+    def dup_span_stats_q(sf):
+        """Per-doc duplicated-token totals over the same spans (corpus-
+        cleaning gate input); integer columns, LEFT-join keeps span-free
+        docs at 0."""
+        from rayfts.ops.substr import dup_span_stats
+
+        return dup_span_stats(_docs_ds(sf), min_len=8).sort("doc_id")
+
+    q["dup_span_stats"] = dup_span_stats_q
+
     def distinct_users_q(sf):
         """Exact distributed distinct count (local unique -> hash
         groupby; only distinct values cross the exchange)."""
@@ -1268,6 +1289,55 @@ r AS (
   FROM smh
 )
 SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+    # duplicated-substring spans: window equality modeled on the actual
+    # 8-token gram STRING (the engine compares 64-bit rolling hashes —
+    # equal modulo a ~2^-65-probability collision, absent at any tested
+    # scale); interval merge is the classic gaps-and-islands
+    _dupspan_ctes = r"""t AS (
+  SELECT doc_id,
+    [lower(x) for x in regexp_extract_all(text, '[\p{L}\p{N}]+')] AS toks
+  FROM documents
+),
+wins AS (
+  SELECT t.doc_id, g.i AS pos1,
+         array_to_string(list_slice(t.toks, g.i, g.i + 7), chr(31)) AS gram
+  FROM t, unnest(generate_series(1, len(t.toks) - 7)) AS g(i)
+),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT w.doc_id, w.pos1 FROM wins w JOIN dup USING (gram)),
+brk AS (
+  SELECT doc_id, pos1,
+         CASE WHEN lag(pos1) OVER w IS NULL
+              OR pos1 - lag(pos1) OVER w > 8 THEN 1 ELSE 0 END AS b
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos1)
+),
+isl AS (
+  SELECT doc_id, pos1,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos1) AS grp
+  FROM brk
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(pos1) - 1 AS BIGINT) AS span_start,
+         CAST(max(pos1) - 1 + 8 AS BIGINT) AS span_end
+  FROM isl GROUP BY doc_id, grp
+)"""
+    sql["dup_spans"] = (
+        f"WITH {_dupspan_ctes}\n"
+        "SELECT doc_id, span_start, span_end FROM spans "
+        "ORDER BY doc_id, span_start"
+    )
+    sql["dup_span_stats"] = f"""
+WITH {_dupspan_ctes},
+dsum AS (
+  SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dt
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
+FROM t LEFT JOIN dsum USING (doc_id)
+ORDER BY doc_id
 """
     great = "greatest(hde, hen, hes, hfr)"
     sql["corpus_clean"] = rf"""

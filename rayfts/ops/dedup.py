@@ -197,12 +197,12 @@ class _ShingleStage:
         self._uniq_cache: dict[str, int] = {}
         self._cache_cap = self.CACHE_CAP if cache_cap is None else cache_cap
 
-    def _shingle_stream(
+    def _hashed_token_stream(
         self, texts: pa.ChunkedArray | pa.Array
     ) -> tuple[np.ndarray, np.ndarray, int]:
-        """(sh, sh_doc, n_docs): every k-window rolling hash with its doc
-        index, doc-major sorted; docs with no tokens contribute nothing;
-        docs shorter than k hash as one whole-doc window."""
+        """(tok_h, doc_idx, n_docs): the doc-major stream of per-token
+        md5 hashes (empties dropped) BEFORE any windowing — shared by the
+        shingle window below and the substring-dedup window stage."""
         import pyarrow.compute as pc2
 
         arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
@@ -232,7 +232,15 @@ class _ShingleStage:
         tok_h = uh[ind]
         keep = nonempty[ind]
         doc_all = np.repeat(np.arange(n, dtype=np.int64), counts)
-        tok_h, doc_idx = tok_h[keep], doc_all[keep]
+        return tok_h[keep], doc_all[keep], n
+
+    def _shingle_stream(
+        self, texts: pa.ChunkedArray | pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(sh, sh_doc, n_docs): every k-window rolling hash with its doc
+        index, doc-major sorted; docs with no tokens contribute nothing;
+        docs shorter than k hash as one whole-doc window."""
+        tok_h, doc_idx, n = self._hashed_token_stream(texts)
         if tok_h.size == 0:
             return np.empty(0, np.uint64), np.empty(0, np.int64), n
         tok_counts = np.bincount(doc_idx, minlength=n)
