@@ -569,6 +569,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dup_span_stats"] = dup_span_stats_q
 
+    def quantiles_q(sf):
+        """Exact discrete quantiles of events.value WITHOUT a sort:
+        iterative histogram refinement, ~4 streaming passes, O(bins)
+        driver state, zero shuffle."""
+        from rayfts.ops.quantile import exact_quantiles
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        return exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+
+    q["quantiles_value"] = quantiles_q
+
+    def grouped_quantiles_q(sf):
+        """Per-event-type exact quantiles: one uniform hash exchange,
+        one vectorized sort per group."""
+        from rayfts.ops.quantile import grouped_quantiles
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        return grouped_quantiles(
+            ds, "event_type", "value", [0.25, 0.5, 0.9]
+        ).sort(["event_type", "q"])
+
+    q["quantiles_by_type"] = grouped_quantiles_q
+
     def distinct_users_q(sf):
         """Exact distributed distinct count (local unique -> hash
         groupby; only distinct values cross the exchange)."""
@@ -1338,6 +1361,22 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
 FROM t LEFT JOIN dsum USING (doc_id)
 ORDER BY doc_id
+"""
+    # exact discrete quantiles: DuckDB quantile_disc shares the engine's
+    # rank convention (1-based rank max(1, ceil(q*n)) over sorted
+    # non-nulls — verified empirically both on n=4 and n=5 edge grids)
+    sql["quantiles_value"] = """
+WITH r AS (SELECT quantile_disc(value, [0.1,0.5,0.9,0.99]) AS v FROM events)
+SELECT CAST(qs.q AS DOUBLE) AS q, r.v[qs.i] AS value
+FROM r, (VALUES (1,0.1),(2,0.5),(3,0.9),(4,0.99)) qs(i, q)
+ORDER BY q
+"""
+    sql["quantiles_by_type"] = """
+WITH r AS (SELECT event_type, quantile_disc(value, [0.25,0.5,0.9]) AS v
+           FROM events GROUP BY event_type)
+SELECT r.event_type, CAST(qs.q AS DOUBLE) AS q, r.v[qs.i] AS value
+FROM r, (VALUES (1,0.25),(2,0.5),(3,0.9)) qs(i, q)
+ORDER BY event_type, q
 """
     great = "greatest(hde, hen, hes, hfr)"
     sql["corpus_clean"] = rf"""
