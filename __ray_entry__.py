@@ -592,6 +592,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quantiles_by_type"] = grouped_quantiles_q
 
+    def heavy_hitters_q(sf):
+        """Exact tokens with frequency >= 0.5% of the corpus: mergeable
+        Misra-Gries candidate sweep (zero false negatives by the
+        n/(k+1) undercount bound) + one exact verification pass;
+        summary-sized exchanges only."""
+        from rayfts.ops.freq import heavy_hitters
+
+        return heavy_hitters(_docs_ds(sf), phi_num=1, phi_den=200)
+
+    q["heavy_hitters"] = heavy_hitters_q
+
     def distinct_users_q(sf):
         """Exact distributed distinct count (local unique -> hash
         groupby; only distinct values cross the exchange)."""
@@ -1361,6 +1372,18 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
 FROM t LEFT JOIN dsum USING (doc_id)
 ORDER BY doc_id
+"""
+    # heavy hitters: exact integer threshold (cnt*den >= n*num), the
+    # same tokenizer as the substring/shingle family
+    sql["heavy_hitters"] = r"""
+WITH toks AS (
+  SELECT lower(x) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS u(x)
+),
+tot AS (SELECT count(*) AS n FROM toks),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term)
+SELECT term, cnt FROM c, tot WHERE cnt * 200 >= n * 1
+ORDER BY cnt DESC, term
 """
     # exact discrete quantiles: DuckDB quantile_disc shares the engine's
     # rank convention (1-based rank max(1, ceil(q*n)) over sorted
