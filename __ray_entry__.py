@@ -603,6 +603,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["heavy_hitters"] = heavy_hitters_q
 
+    def pack_documents_q(sf):
+        """Concat-then-chunk sequence packing via a two-phase
+        distributed prefix sum (order-aligned id chunks; one uniform
+        exchange). chunk_size=64 forces many chunks so the offset
+        broadcast path is actually exercised at this scale."""
+        from rayfts.ops.pack import pack_documents
+
+        out = pack_documents(_docs_ds(sf), budget=2048, chunk_size=64)
+        return out.sort("doc_id")
+
+    q["pack_documents"] = pack_documents_q
+
     def distinct_users_q(sf):
         """Exact distributed distinct count (local unique -> hash
         groupby; only distinct values cross the exchange)."""
@@ -1372,6 +1384,24 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
 FROM t LEFT JOIN dsum USING (doc_id)
 ORDER BY doc_id
+"""
+    # sequence packing: the distributed prefix sum equals one window
+    # cumulative sum ordered by doc_id
+    sql["pack_documents"] = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cb // 2048 AS BIGINT) AS pack_id,
+       CAST(cb % 2048 AS BIGINT) AS pack_offset
+FROM c ORDER BY doc_id
 """
     # heavy hitters: exact integer threshold (cnt*den >= n*num), the
     # same tokenizer as the substring/shingle family

@@ -296,6 +296,25 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
         clean_corpus(ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"))).count()
         out["corpus_clean"] = time.time() - t0
+
+        from rayfts.ops.quantile import exact_quantiles
+
+        t0 = time.time()
+        exact_quantiles(ray.data.read_parquet(ev), "value",
+                        [0.1, 0.5, 0.9, 0.99])
+        out["quantiles_value"] = time.time() - t0
+
+    from rayfts.ops.freq import heavy_hitters
+
+    t0 = time.time()
+    heavy_hitters(ray.data.read_parquet(docs), phi_num=1, phi_den=200)
+    out["heavy_hitters"] = time.time() - t0
+
+    from rayfts.ops.substr import duplicated_spans
+
+    t0 = time.time()
+    duplicated_spans(ray.data.read_parquet(docs), min_len=8).count()
+    out["dup_spans"] = time.time() - t0
     return out
 
 

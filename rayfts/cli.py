@@ -230,6 +230,83 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_dup_spans(args) -> int:
+    """Exact duplicated-substring spans (or per-doc stats) -> parquet."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.substr import dup_span_stats, duplicated_spans
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    ds = ray.data.read_parquet(paths)
+    if args.stats:
+        out = dup_span_stats(ds, col=args.col, id_col=args.id_col,
+                             min_len=args.min_len, scope=args.scope)
+    else:
+        out = duplicated_spans(ds, col=args.col, id_col=args.id_col,
+                               min_len=args.min_len, scope=args.scope)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_quantiles(args) -> int:
+    """Exact distributed quantiles of a numeric column (no sort)."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.quantile import exact_quantiles, grouped_quantiles
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    ds = ray.data.read_parquet(paths)
+    qs = [float(x) for x in args.qs.split(",")]
+    if args.by:
+        out = grouped_quantiles(ds, args.by, args.col, qs).to_pandas()
+        print(out.sort_values([args.by, "q"]).to_json(orient="records"))
+    else:
+        out = exact_quantiles(ds, args.col, qs)
+        print(out.to_pandas().to_json(orient="records"))
+    return 0
+
+
+def cmd_heavy_hitters(args) -> int:
+    """Exact frequent tokens (freq >= num/den of all tokens)."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.freq import heavy_hitters
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    out = heavy_hitters(ray.data.read_parquet(paths), col=args.col,
+                        phi_num=args.phi_num, phi_den=args.phi_den)
+    print(out.to_pandas().to_json(orient="records"))
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Concat-then-chunk sequence packing (distributed prefix sum) ->
+    (id, n_tokens, pack_id, pack_offset) parquet."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.pack import pack_documents
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    out = pack_documents(ray.data.read_parquet(paths), col=args.col,
+                         id_col=args.id_col, budget=args.budget)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic hash sample (uniform rate or stratified k-per-group)
     -> parquet."""
@@ -472,6 +549,43 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--stop-pct", type=int, default=5)
     cl.add_argument("--threshold", type=float, default=0.5)
     cl.set_defaults(fn=cmd_clean)
+
+    dsp = sub.add_parser("dup-spans",
+                         help="exact duplicated-substring spans / stats")
+    dsp.add_argument("--input", nargs="+", required=True)
+    dsp.add_argument("--col", default="text")
+    dsp.add_argument("--id-col", default="doc_id")
+    dsp.add_argument("--min-len", type=int, default=20)
+    dsp.add_argument("--scope", choices=["cross_doc", "any"], default="cross_doc")
+    dsp.add_argument("--stats", action="store_true",
+                     help="per-doc (n_tokens, dup_tokens) instead of spans")
+    dsp.add_argument("--out", required=True)
+    dsp.set_defaults(fn=cmd_dup_spans)
+
+    qn = sub.add_parser("quantiles",
+                        help="exact distributed quantiles (no sort)")
+    qn.add_argument("--input", nargs="+", required=True)
+    qn.add_argument("--col", default="value")
+    qn.add_argument("--qs", default="0.25,0.5,0.75,0.99")
+    qn.add_argument("--by", default=None, help="optional group-by key")
+    qn.set_defaults(fn=cmd_quantiles)
+
+    hh = sub.add_parser("heavy-hitters",
+                        help="exact frequent tokens (two-pass Misra-Gries)")
+    hh.add_argument("--input", nargs="+", required=True)
+    hh.add_argument("--col", default="text")
+    hh.add_argument("--phi-num", type=int, default=1)
+    hh.add_argument("--phi-den", type=int, default=200)
+    hh.set_defaults(fn=cmd_heavy_hitters)
+
+    pk = sub.add_parser("pack",
+                        help="sequence packing via distributed prefix sum")
+    pk.add_argument("--input", nargs="+", required=True)
+    pk.add_argument("--col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--out", required=True)
+    pk.set_defaults(fn=cmd_pack)
 
     sp = sub.add_parser("sample",
                         help="deterministic hash sample (uniform rate, or "
