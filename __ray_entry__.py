@@ -615,6 +615,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pack_documents"] = pack_documents_q
 
+    def scrub_q(sf):
+        """PII scrub (email/URL/IP -> placeholder tokens + whitespace
+        collapse). The synthetic corpus has no scrubbables, so both
+        sides deterministically append doc_id-derived emails/URLs/IPs
+        to every 5th doc first — the redaction path is genuinely
+        exercised and the rewritten STRINGS are hash-compared."""
+        import pandas as pd2
+
+        from rayfts.ops.scrub import scrub_text
+
+        ds = _docs_ds(sf).select_columns(["doc_id", "text"])
+
+        def salt(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            t = pd2.Series(b["text"].to_pylist(), dtype="object").fillna("")
+            s = pd2.Series(ids).astype(str)
+            suffix = (" contact u" + s + "@ex" + (ids % 7).astype(str)
+                      + ".org or https://site" + s + ".example/p/" + s
+                      + " at 10.0." + (ids % 256).astype(str) + "."
+                      + (ids % 100).astype(str))
+            salted = t.where(ids % 5 != 0, t + suffix.to_numpy())
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": pa.array(salted.tolist(), type=pa.string())})
+
+        return scrub_text(ds.map_batches(salt, batch_format="pyarrow")).sort("doc_id")
+
+    q["scrub_text"] = scrub_q
+
     def distinct_users_q(sf):
         """Exact distributed distinct count (local unique -> hash
         groupby; only distinct values cross the exchange)."""
@@ -1384,6 +1412,33 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
 FROM t LEFT JOIN dsum USING (doc_id)
 ORDER BY doc_id
+"""
+    # PII scrub: both engines run RE2, so the rewritten strings match
+    # bit-for-bit; the CTE chain mirrors the sequential rule order
+    _em = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _ur = r"https?://[^\s]+"
+    _ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    sql["scrub_text"] = rf"""
+WITH s0 AS (
+  SELECT doc_id,
+    COALESCE(text, '') || CASE WHEN doc_id % 5 = 0 THEN
+      ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+      '.org or https://site' || doc_id || '.example/p/' || doc_id ||
+      ' at 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+    ELSE '' END AS t
+  FROM documents
+),
+e AS (SELECT doc_id, len(regexp_extract_all(t, '{_em}')) AS n_email,
+             regexp_replace(t, '{_em}', '<EMAIL>', 'g') AS t FROM s0),
+u AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{_ur}')) AS n_url,
+             regexp_replace(t, '{_ur}', '<URL>', 'g') AS t FROM e),
+i AS (SELECT doc_id, n_email, n_url,
+             len(regexp_extract_all(t, '{_ip}')) AS n_ip,
+             regexp_replace(t, '{_ip}', '<IP>', 'g') AS t FROM u)
+SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text,
+       CAST(n_email AS BIGINT) AS n_email, CAST(n_url AS BIGINT) AS n_url,
+       CAST(n_ip AS BIGINT) AS n_ip
+FROM i ORDER BY doc_id
 """
     # sequence packing: the distributed prefix sum equals one window
     # cumulative sum ordered by doc_id

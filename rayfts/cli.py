@@ -289,6 +289,23 @@ def cmd_heavy_hitters(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """PII scrub / text normalization -> rewritten parquet."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.scrub import scrub_text
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    out = scrub_text(ray.data.read_parquet(paths), col=args.col,
+                     rules=tuple(args.rules.split(",")))
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Concat-then-chunk sequence packing (distributed prefix sum) ->
     (id, n_tokens, pack_id, pack_offset) parquet."""
@@ -577,6 +594,14 @@ def main(argv: list[str] | None = None) -> int:
     hh.add_argument("--phi-num", type=int, default=1)
     hh.add_argument("--phi-den", type=int, default=200)
     hh.set_defaults(fn=cmd_heavy_hitters)
+
+    sc = sub.add_parser("scrub",
+                        help="PII scrub / text normalization (RE2 rules)")
+    sc.add_argument("--input", nargs="+", required=True)
+    sc.add_argument("--col", default="text")
+    sc.add_argument("--rules", default="email,url,ip")
+    sc.add_argument("--out", required=True)
+    sc.set_defaults(fn=cmd_scrub)
 
     pk = sub.add_parser("pack",
                         help="sequence packing via distributed prefix sum")
