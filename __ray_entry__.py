@@ -1370,7 +1370,7 @@ SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
     # scale); interval merge is the classic gaps-and-islands
     _dupspan_ctes = r"""t AS (
   SELECT doc_id,
-    [lower(x) for x in regexp_extract_all(text, '[\p{L}\p{N}]+')] AS toks
+    [lower(x) for x in regexp_extract_all(COALESCE(text, ''), '[\p{L}\p{N}]+')] AS toks
   FROM documents
 ),
 wins AS (
@@ -1444,7 +1444,8 @@ FROM i ORDER BY doc_id
     # cumulative sum ordered by doc_id
     sql["pack_documents"] = r"""
 WITH t AS (
-  SELECT doc_id, len(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS n_tokens
+  SELECT doc_id,
+    len(regexp_extract_all(COALESCE(text, ''), '[\p{L}\p{N}]+')) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -1463,7 +1464,7 @@ FROM c ORDER BY doc_id
     sql["heavy_hitters"] = r"""
 WITH toks AS (
   SELECT lower(x) AS term
-  FROM documents, unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS u(x)
+  FROM documents, unnest(regexp_extract_all(COALESCE(text, ''), '[\p{L}\p{N}]+')) AS u(x)
 ),
 tot AS (SELECT count(*) AS n FROM toks),
 c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term)

@@ -147,19 +147,28 @@ _FNV_PRIME = np.uint64(1099511628211)
 _POLY_BASE = np.uint64(1099511628211)
 
 
+def _poly_powers(k: int) -> np.ndarray:
+    """Descending power vector [base^(k-1) ... base^0] mod 2^64 — the
+    single definition behind every rolling-window hash in this package
+    (shingles, short-doc windows, substring-dedup windows)."""
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _POLY_BASE
+    return powers[::-1].copy()
+
+
 def _poly_shingles(h: np.ndarray, k: int) -> np.ndarray:
     """Polynomial hash of every k-token window of a token-hash array
     (vectorized, mod 2^64); <k tokens hash as one window over all."""
     if h.size == 0:
         return np.empty(0, dtype=np.uint64)
     kk = min(k, h.size)
+    powers = _poly_powers(kk)
     with np.errstate(over="ignore"):
-        powers = np.empty(kk, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for i in range(1, kk):
-            powers[i] = powers[i - 1] * _POLY_BASE
         win = np.lib.stride_tricks.sliding_window_view(h, kk)
-        return (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        return (win * powers).sum(axis=1, dtype=np.uint64)
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -249,17 +258,13 @@ class _ShingleStage:
         # == window end's doc); docs shorter than k get one whole-doc
         # window per length group — no per-doc Python loop
         k = self.k
-        with np.errstate(over="ignore"):
-            powers = np.empty(k, dtype=np.uint64)
-            powers[0] = np.uint64(1)
-            for i in range(1, k):
-                powers[i] = powers[i - 1] * _POLY_BASE
+        powers = _poly_powers(k)  # descending: [base^(k-1) ... 1]
         sh_parts: list[np.ndarray] = []
         shdoc_parts: list[np.ndarray] = []
         if tok_h.size >= k:
             win = np.lib.stride_tricks.sliding_window_view(tok_h, k)
             with np.errstate(over="ignore"):
-                h_all = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+                h_all = (win * powers).sum(axis=1, dtype=np.uint64)
             w_docs = doc_idx[: doc_idx.size - k + 1]
             valid = w_docs == doc_idx[k - 1:]
             sh_parts.append(h_all[valid])
@@ -271,7 +276,7 @@ class _ShingleStage:
                 continue
             idx = starts[docs_l][:, None] + np.arange(l)[None, :]
             with np.errstate(over="ignore"):
-                h_l = (tok_h[idx] * powers[:l][::-1]).sum(axis=1, dtype=np.uint64)
+                h_l = (tok_h[idx] * powers[k - l:]).sum(axis=1, dtype=np.uint64)
             sh_parts.append(h_l)
             shdoc_parts.append(docs_l)
         sh = np.concatenate(sh_parts)

@@ -103,13 +103,27 @@ def pack_documents(
     off_ref = ray.put((chunks, offsets))
 
     def tag(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column(
-            "chunk", pa.array(ids // chunk_size, type=pa.int64()))
+        # tokenize BEFORE the exchange and drop the text: only
+        # (id, n_tokens, chunk) rows — ~24 bytes each — cross the wide
+        # edge, and the corpus is never re-tokenized downstream
+        ids, nt = _ids_counts(b, id_col, col, value_col)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(nt, type=pa.int64()),
+            "chunk": pa.array(ids // chunk_size, type=pa.int64()),
+        })
 
     def place(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "pack_id": pa.array([], type=pa.int64()),
+                "pack_offset": pa.array([], type=pa.int64()),
+            })
         chs, offs = ray.get(off_ref)
-        ids, nt = _ids_counts(g, id_col, col, value_col)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids_s, nt_s = ids[order], nt[order]
         base = offs[np.searchsorted(chs, ids_s[0] // chunk_size)]

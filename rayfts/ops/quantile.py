@@ -53,7 +53,9 @@ def _edges(lo: float, hi: float, bins: int) -> np.ndarray:
     comparisons (``v >= edges[k]``) agree bit-exactly — the refinement
     invariant (``below`` = #values strictly below ``lo``) never drifts,
     whatever the float rounding of ``lo + k*w``."""
-    w = (hi - lo) / bins
+    # divide-then-subtract: (hi - lo) overflows to inf for huge finite
+    # ranges (e.g. +/-1e308) and would poison every edge with NaN
+    w = hi / bins - lo / bins
     e = lo + w * np.arange(bins + 1, dtype=np.float64)
     e[0], e[bins] = lo, hi
     return e
@@ -76,10 +78,13 @@ def exact_quantiles(
 
     def stats(b: pa.Table) -> pa.Table:
         v = _col_values(b, col)
+        fin = v[np.isfinite(v)]
         return pa.table({
             "cnt": pa.array([v.size], type=pa.int64()),
-            "mn": pa.array([float(v.min()) if v.size else math.inf]),
-            "mx": pa.array([float(v.max()) if v.size else -math.inf]),
+            "nneg": pa.array([int((v == -math.inf).sum())], type=pa.int64()),
+            "npos": pa.array([int((v == math.inf).sum())], type=pa.int64()),
+            "mn": pa.array([float(fin.min()) if fin.size else math.inf]),
+            "mx": pa.array([float(fin.max()) if fin.size else -math.inf]),
         })
 
     parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
@@ -87,15 +92,30 @@ def exact_quantiles(
     if n == 0:
         return pa.table({"q": pa.array([], type=pa.float64()),
                          "value": pa.array([], type=pa.float64())})
+    # +/-inf are ordered values (quantile_disc agrees): ranks in the
+    # -inf head / +inf tail resolve immediately; the refinement loop
+    # only ever sees the finite range
+    n_neg = int(parts["nneg"].sum())
+    n_pos = int(parts["npos"].sum())
     lo0, hi0 = float(parts["mn"].min()), float(parts["mx"].max())
     # per-target state: 1-based rank, candidate interval, count below lo
     ranks = [max(1, math.ceil(q * n)) for q in qs]
-    state = [{"lo": lo0, "hi": hi0, "below": 0, "cnt_in": n} for _ in qs]
+    state = []
+    for r in ranks:
+        if r <= n_neg:
+            state.append({"lo": math.inf, "hi": -math.inf, "below": 0,
+                          "cnt_in": 0, "resolved": -math.inf})
+        elif r > n - n_pos:
+            state.append({"lo": math.inf, "hi": -math.inf, "below": 0,
+                          "cnt_in": 0, "resolved": math.inf})
+        else:
+            state.append({"lo": lo0, "hi": hi0, "below": n_neg,
+                          "cnt_in": n - n_neg - n_pos, "resolved": None})
 
     def active(s) -> bool:
-        if s["cnt_in"] <= candidate_cap:
+        if s["resolved"] is not None or s["cnt_in"] <= candidate_cap:
             return False
-        w = (s["hi"] - s["lo"]) / bins
+        w = s["hi"] / bins - s["lo"] / bins
         # float-resolution guard: bins no longer subdivide the interval
         return w > 0 and s["lo"] + w > s["lo"]
 
@@ -166,6 +186,9 @@ def exact_quantiles(
     cp = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
     out_vals = []
     for i, s in enumerate(state):
+        if s["resolved"] is not None:
+            out_vals.append(s["resolved"])
+            continue
         sub = cp[cp["j"] == i]
         grp = sub.groupby("v", sort=True)["c"].sum()
         cum = grp.cumsum().to_numpy()
@@ -191,11 +214,21 @@ def grouped_quantiles(
     qarr = np.array(qs, dtype=np.float64)
 
     def per_group(g: pa.Table) -> pa.Table:
-        v = _col_values(g, col)
-        if v.size == 0:
+        if g.num_rows == 0:
             return pa.table({key: g[key].slice(0, 0),
                              "q": pa.array([], type=pa.float64()),
                              "value": pa.array([], type=pa.float64())})
+        v = _col_values(g, col)
+        if v.size == 0:
+            # SQL semantics: a group whose values are all NULL still
+            # exists, with NULL quantiles (quantile_disc + GROUP BY)
+            key_val = g[key][0].as_py()
+            return pa.table({
+                key: pa.array([key_val] * len(qs),
+                              type=g.schema.field(key).type),
+                "q": pa.array(qarr),
+                "value": pa.array([None] * len(qs), type=pa.float64()),
+            })
         v.sort()
         idx = np.maximum(np.ceil(qarr * v.size).astype(np.int64), 1) - 1
         key_val = g[key][0].as_py()

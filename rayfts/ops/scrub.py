@@ -24,7 +24,8 @@ import pyarrow as pa
 
 __all__ = ["SCRUB_RULES", "scrub_batch", "scrub_text"]
 
-# (name, RE2 pattern, replacement) — applied in this order
+# (name, RE2 pattern, replacement) — application ORDER is the caller's
+# ``rules`` tuple, not this declaration order
 SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("url", r"https?://[^\s]+", "<URL>"),
@@ -43,10 +44,10 @@ def scrub_batch(batch: pa.Table, col: str = "text",
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     arr = pc.fill_null(arr, "")
+    by_name = {name: (pat, repl) for name, pat, repl in SCRUB_RULES}
     counts = {}
-    for name, pat, repl in SCRUB_RULES:
-        if name not in rules:
-            continue
+    for name in rules:  # the CALLER's order is the sequential semantics
+        pat, repl = by_name[name]
         counts[name] = pc.count_substring_regex(arr, pattern=pat)
         arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
     if collapse_ws:

@@ -46,7 +46,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from rayfts.ops.dedup import _POLY_BASE, _ShingleStage, _JOIN_AGG_ARGS, _join_partitions
+from rayfts.ops.dedup import (_JOIN_AGG_ARGS, _ShingleStage, _join_partitions,
+                              _poly_powers)
 
 __all__ = [
     "WindowHashes",
@@ -70,13 +71,7 @@ class WindowHashes(_ShingleStage):
         self.col = col
         self.id_col = id_col
         self.num_parts = num_parts
-        L = min_len
-        with np.errstate(over="ignore"):
-            powers = np.empty(L, dtype=np.uint64)
-            powers[0] = np.uint64(1)
-            for i in range(1, L):
-                powers[i] = powers[i - 1] * _POLY_BASE
-        self._powers = powers[::-1].copy()
+        self._powers = _poly_powers(min_len)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         L = self.k

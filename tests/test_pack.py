@@ -39,7 +39,8 @@ def test_matches_reference_and_chunking_invariant(ray_session):
     ref = _ref(df, 128)
     for chunk_size in (7, 64, 100000):
         got = _run(df, 128, chunk_size=chunk_size)
-        pd.testing.assert_frame_equal(got, ref, check_dtype=False), chunk_size
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False,
+                                      obj=f"chunk_size={chunk_size}")
 
 
 def test_sparse_nonconsecutive_ids(ray_session):

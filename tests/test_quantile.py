@@ -92,6 +92,39 @@ def test_grouped_matches_reference(ray_session):
         assert got == exp, k
 
 
+def test_infinities_are_ordered_values(ray_session):
+    # quantile_disc treats +/-inf as ordered extremes; the refinement
+    # loop must resolve them without NaN edges (review finding)
+    rng = np.random.default_rng(29)
+    vals = np.concatenate([
+        np.full(50, -np.inf), rng.uniform(0, 10, 500), np.full(200, np.inf)])
+    rng.shuffle(vals)
+    qs = [0.01, 0.5, 0.95]
+    got = _run(vals, qs, bins=8, candidate_cap=10)
+    assert got == _ref(vals, qs)
+    assert got[0] == -np.inf and got[2] == np.inf
+    # huge finite range: (hi - lo) alone would overflow to inf
+    vals2 = np.array([-1.6e308, 0.0, 1.0, 2.0, 1.6e308] * 40)
+    assert _run(vals2, [0.5], bins=16, candidate_cap=3) == _ref(vals2, [0.5])
+
+
+def test_grouped_all_null_group_kept_as_null(ray_session):
+    import ray
+
+    from rayfts.ops.quantile import grouped_quantiles
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "value": [1.0, 2.0, 3.0, 4.0, None, None, None],
+    })
+    out = (grouped_quantiles(ray.data.from_pandas(df), "k", "value", [0.5])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # SQL semantics: group 'b' exists with a NULL quantile
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["value"].iloc[0] == 2.0
+    assert pd.isna(out["value"].iloc[1])
+
+
 def test_bad_qs_raise(ray_session):
     import ray
 

@@ -77,6 +77,18 @@ SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text,
         assert got[c].tolist() == exp[c].astype(int).tolist()
 
 
+def test_rule_order_is_callers_order(ray_session):
+    # url-first swallows the email inside the URL path; email-first
+    # redacts it before the URL rule sees the line (review finding)
+    t = ["go https://x.example/a@b.co now"]
+    url_first = _run(t, rules=("url", "email"))
+    assert url_first["text"].iloc[0] == "go <URL> now"
+    assert (url_first["n_url"].iloc[0], url_first["n_email"].iloc[0]) == (1, 0)
+    email_first = _run(t, rules=("email", "url"))
+    assert email_first["text"].iloc[0] == "go <URL> now"
+    assert (email_first["n_email"].iloc[0], email_first["n_url"].iloc[0]) == (1, 1)
+
+
 def test_rule_subset_and_bad_rule(ray_session):
     import ray
 
