@@ -643,6 +643,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["scrub_text"] = scrub_q
 
+    def lm_scores_q(sf):
+        """CCNet-style quality signal: per-doc average negative log
+        probability under an add-one-smoothed bigram LM trained on the
+        corpus itself (two streaming passes + summary exchanges)."""
+        from rayfts.ops.lm import bigram_lm_scores
+
+        return bigram_lm_scores(_docs_ds(sf)).sort("doc_id")
+
+    q["lm_scores"] = lm_scores_q
+
     def distinct_users_q(sf):
         """Exact distributed distinct count (local unique -> hash
         groupby; only distinct values cross the exchange)."""
@@ -1412,6 +1422,40 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
 FROM t LEFT JOIN dsum USING (doc_id)
 ORDER BY doc_id
+"""
+    # bigram-LM scores: integer corpus counts + one float division per
+    # bigram; avg rounded half-even on both sides (summation-order safe)
+    sql["lm_scores"] = r"""
+WITH t AS (
+  SELECT doc_id,
+    [lower(x) for x in regexp_extract_all(COALESCE(text, ''), '[\p{L}\p{N}]+')] AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM t
+),
+uni AS (SELECT term, count(*) AS cu FROM tokpos GROUP BY term),
+vv AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tokpos a JOIN tokpos b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+scored AS (
+  SELECT big.doc_id,
+         -(ln(bc.cb + 1.0) - ln(uni.cu + (SELECT v FROM vv))) AS nll
+  FROM big JOIN bc USING (w1, w2) JOIN uni ON uni.term = big.w1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round_even(avg(nll), 6) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.nll
+FROM t LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
 """
     # PII scrub: both engines run RE2, so the rewritten strings match
     # bit-for-bit; the CTE chain mirrors the sequential rule order

@@ -315,6 +315,12 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     duplicated_spans(ray.data.read_parquet(docs), min_len=8).count()
     out["dup_spans"] = time.time() - t0
+
+    from rayfts.ops.lm import bigram_lm_scores
+
+    t0 = time.time()
+    bigram_lm_scores(ray.data.read_parquet(docs)).count()
+    out["lm_scores"] = time.time() - t0
     return out
 
 

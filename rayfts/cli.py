@@ -289,6 +289,23 @@ def cmd_heavy_hitters(args) -> int:
     return 0
 
 
+def cmd_lm_score(args) -> int:
+    """Corpus-trained bigram-LM perplexity scores -> parquet."""
+    _ensure_ray()
+    import glob as _glob
+
+    import ray.data
+
+    from rayfts.ops.lm import bigram_lm_scores
+
+    paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
+    out = bigram_lm_scores(ray.data.read_parquet(paths), col=args.col,
+                           id_col=args.id_col, max_vocab=args.max_vocab)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_scrub(args) -> int:
     """PII scrub / text normalization -> rewritten parquet."""
     _ensure_ray()
@@ -594,6 +611,15 @@ def main(argv: list[str] | None = None) -> int:
     hh.add_argument("--phi-num", type=int, default=1)
     hh.add_argument("--phi-den", type=int, default=200)
     hh.set_defaults(fn=cmd_heavy_hitters)
+
+    lm = sub.add_parser("lm-score",
+                        help="bigram-LM perplexity quality scores")
+    lm.add_argument("--input", nargs="+", required=True)
+    lm.add_argument("--col", default="text")
+    lm.add_argument("--id-col", default="doc_id")
+    lm.add_argument("--max-vocab", type=int, default=1 << 20)
+    lm.add_argument("--out", required=True)
+    lm.set_defaults(fn=cmd_lm_score)
 
     sc = sub.add_parser("scrub",
                         help="PII scrub / text normalization (RE2 rules)")
