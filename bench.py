@@ -652,6 +652,41 @@ def _ngram_shuffle_stats(files, num_docs_subset: int, cap: int | None) -> dict:
     return hist
 
 
+def _substr_partials_stats(files) -> dict:
+    """Qualify-pass reducer inputs for duplicated_spans over the
+    stop-word-heavy corpus: partial rows per hash partition must stay
+    level even when one window dominates the stream (the min/max/cnt
+    pre-aggregation collapses a hot window to one row per batch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from rayfts.ops.substr import WindowHashes
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.select(["part"])
+
+    def add_row_id(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b["commit"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "bench_row", pa.array((h >> np.uint64(1)).astype(np.int64)))
+
+    ds = ray.data.read_parquet(files).map_batches(
+        add_row_id, batch_format="pyarrow")
+    partials = ds.map_batches(
+        WindowHashes,
+        fn_constructor_kwargs={"col": "content", "id_col": "bench_row",
+                               "min_len": 8, "num_parts": 64,
+                               "mode": "partials"},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    )
+    counts = (partials.map_batches(keyed, batch_format="pyarrow")
+              .groupby("part").count())
+    return _reducer_histogram([r["count()"] for r in counts.take_all()])
+
+
 def run_skew(num_docs: int) -> dict:
     """Stop-word-heavy variant (30% of all tokens are 'the'): the build is
     doc-partitioned (zero-shuffle) so it must be skew-immune, and the
@@ -716,6 +751,8 @@ def run_skew(num_docs: int) -> dict:
         files_by_label["skew"], ngram_subset, 2048)
     hist["ngram_skew_uncapped"] = _ngram_shuffle_stats(
         files_by_label["skew"], ngram_subset, None)
+    for label, files in files_by_label.items():
+        hist[f"substr_qualify_{label}"] = _substr_partials_stats(files)
     ray.shutdown()
     return {
         "metric": "skew immunity (stop-word-heavy vs uniform corpus)",

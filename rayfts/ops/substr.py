@@ -3,7 +3,7 @@ the "dedup repeated text, not just repeated documents" operator from the
 training-data-cleaning literature (Lee et al. 2021, "Deduplicating
 Training Data Makes Language Models Better", arXiv:2107.06499 — their
 suffix-array ExactSubstr; here re-expressed distributed-first as an
-L-token rolling-hash window exchange, the standard scalable equivalent).
+L-token rolling-hash window sweep, the standard scalable equivalent).
 
 Semantics (token coordinates; tokenizer = the corpus-wide RE2 split on
 ``[^\\p{L}\\p{N}]+`` + lowercase that every dedup/textstats op in this
@@ -14,26 +14,29 @@ duplicated windows are merged into maximal half-open spans
 ``[span_start, span_end)`` (overlapping or touching windows fuse).
 Documents shorter than L tokens produce no windows.
 
-Distributed plan (two uniform-key exchanges, both pair-free — unlike the
-candidate-pair dedups there is NO quadratic hazard anywhere: a boilerplate
-L-gram repeated 10^6 times emits 10^6 *rows*, never 10^12 pairs):
+Distributed plan — TWO STREAMING PASSES, no corpus-sized shuffle, and
+no hot-key hazard (a window repeated 10^9 times never co-locates):
 
-1. ``WindowHashes`` actor pool (``map_batches``): Arrow tokenize, bounded
-   per-UNIQUE-token md5 cache, ONE global sliding-window polynomial hash
-   per batch -> rows ``(h, doc_id, pos, part)`` where ``part = h %
-   num_parts`` is uniform by construction.
-2. ``groupby(part).map_groups``: per hash partition, one lexsort by
-   ``(h, doc_id)``, run detection, keep rows of qualifying runs.
-3. Re-key by ``hash(doc_id)`` and merge each doc's kept window starts
-   into spans with a vectorized gaps-and-islands pass (equal-length
-   windows => islands break exactly where ``pos - prev_pos > L``).
+1. **Qualify pass**: each batch emits ONE pre-aggregated row per
+   distinct window hash — ``(h, min_doc, max_doc, cnt, part)``. The
+   trick making this exact: "seen in >= 2 distinct docs" is decidable
+   from ``min_doc != max_doc``, and min/max/sum are associative, so a
+   summary-sized uniform-key groupby yields the exact qualifying hash
+   set. A boilerplate window repeated everywhere contributes one row
+   per batch, the same pre-aggregation rule as term_stats.
+2. **Emit pass**: re-scan the corpus, recompute each batch's windows,
+   and probe the qualifying set — broadcast (``ray.put`` of a sorted
+   int64 array, read once per actor in ``__init__``) when it fits
+   ``broadcast_limit``, else a partitioned inner join (the join path
+   re-introduces hash co-location for the qualifying rows only — the
+   documented fall-over cost at extreme duplication rates). Surviving
+   ``(doc, pos)`` rows — OUTPUT-sized, not corpus-sized — take one
+   uniform ``hash(doc)`` exchange for the per-doc gaps-and-islands
+   span merge.
 
-The exchange is corpus-sized (one row per token window) — the price of
-exactness, same cost class as ``ngram_jaccard_pairs``; the approximate
-alternative at lower cost is minhash/simhash in :mod:`rayfts.ops.dedup`.
 Window equality is 64-bit rolling-hash equality: a collision could mark
-a span the string oracle would not (probability ~n^2/2^65; negligible at
-any tested scale, documented honestly here).
+a span the string oracle would not (probability ~n^2/2^65; negligible
+at any tested scale, documented honestly here).
 
 Reference parity note: the reference engine (arso-project/sonar-tantivy)
 has no substring dedup — this op is part of the prompt-mandated
@@ -56,24 +59,43 @@ __all__ = [
 ]
 
 
+def _doc_part(ids: np.ndarray, num_parts: int) -> np.ndarray:
+    return (pd.util.hash_array(ids.astype(np.int64))
+            % np.uint64(num_parts)).astype(np.int32)
+
+
 class WindowHashes(_ShingleStage):
-    """Actor-pool stage: (docs) -> one row per full L-token window:
-    ``(h, doc_id, pos, part)`` with ``pos`` the 0-based start position in
-    the doc's (empty-filtered) token sequence. Whole batch is one
-    vectorized pass — tokenization, per-unique-token md5 (bounded cache)
-    and the sliding-window polynomial hash are shared with the shingle
-    stages via :class:`_ShingleStage`."""
+    """Actor-pool stage over full L-token windows. Three modes:
+
+    - ``mode="partials"``: one row per DISTINCT window hash per batch —
+      ``(h, mn, mx, cnt, part)`` (the qualify-pass pre-aggregation);
+    - ``mode="rows"``: one row per window — ``(h, doc, pos)``;
+    - ``mode="probe"``: one ``(doc, pos, dpart)`` row per window whose
+      hash is in the broadcast qualifying set (``qual_ref``), fetched
+      ONCE per actor.
+
+    Tokenization, the bounded per-unique-token md5 cache, and the
+    polynomial window hash are shared with the shingle stages via
+    :class:`_ShingleStage`."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id",
                  min_len: int = 20, num_parts: int = 64,
+                 mode: str = "partials", qual_ref=None,
                  cache_cap: int | None = None):
         super().__init__(k=min_len, cache_cap=cache_cap)
         self.col = col
         self.id_col = id_col
         self.num_parts = num_parts
+        self.mode = mode
         self._powers = _poly_powers(min_len)
+        self._qual = None
+        if mode == "probe":
+            import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+            self._qual = np.sort(ray.get(qual_ref))
+
+    def _windows(self, batch: pa.Table):
+        """(h int64, doc_ids int64, pos int64) for every full window."""
         L = self.k
         tok_h, doc_idx, n = self._hashed_token_stream(batch[self.col])
         if tok_h.size >= L:
@@ -82,52 +104,88 @@ class WindowHashes(_ShingleStage):
                 h_all = (win * self._powers).sum(axis=1, dtype=np.uint64)
             w_docs = doc_idx[: doc_idx.size - L + 1]
             valid = w_docs == doc_idx[L - 1:]  # window fully inside one doc
-            h = h_all[valid]
+            # shift keeps int64-representable while preserving equality
+            h = (h_all[valid] >> np.uint64(1)).astype(np.int64)
             d = w_docs[valid]
             g_idx = np.flatnonzero(valid)
             tok_counts = np.bincount(doc_idx, minlength=n)
             doc_start = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
-            pos = g_idx - doc_start[d]
+            pos = (g_idx - doc_start[d]).astype(np.int64)
         else:
-            h = np.empty(0, np.uint64)
+            h = np.empty(0, np.int64)
             d = np.empty(0, np.int64)
             pos = np.empty(0, np.int64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return h, ids[d] if d.size else np.empty(0, np.int64), pos
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, d, pos = self._windows(batch)
+        if self.mode == "rows":
+            return pa.table({
+                "h": pa.array(h),
+                self.id_col: pa.array(d, type=pa.int64()),
+                "pos": pa.array(pos),
+            })
+        if self.mode == "probe":
+            q = self._qual
+            if h.size and q.size:
+                ix = np.clip(np.searchsorted(q, h), 0, q.size - 1)
+                keep = q[ix] == h
+                d, pos = d[keep], pos[keep]
+            else:
+                d = np.empty(0, np.int64)
+                pos = np.empty(0, np.int64)
+            return pa.table({
+                self.id_col: pa.array(d, type=pa.int64()),
+                "pos": pa.array(pos),
+                "dpart": pa.array(_doc_part(d, self.num_parts)),
+            })
+        # partials: per-batch (h, min_doc, max_doc, cnt)
+        if h.size:
+            order = np.lexsort((d, h))
+            hs, ds_ = h[order], d[order]
+            new = np.concatenate(([True], hs[1:] != hs[:-1]))
+            starts = np.flatnonzero(new)
+            hu = hs[starts]
+            mn = np.minimum.reduceat(ds_, starts)
+            mx = np.maximum.reduceat(ds_, starts)
+            cnt = np.diff(np.concatenate((starts, [hs.size])))
+        else:
+            hu = np.empty(0, np.int64)
+            mn = mx = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
         return pa.table({
-            # shift keeps int64-representable while preserving equality
-            "h": pa.array((h >> np.uint64(1)).astype(np.int64)),
-            self.id_col: pa.array(ids[d], type=pa.int64()),
-            "pos": pa.array(pos.astype(np.int64)),
-            "part": pa.array((h % np.uint64(self.num_parts)).astype(np.int32)),
+            "h": pa.array(hu),
+            "mn": pa.array(mn, type=pa.int64()),
+            "mx": pa.array(mx, type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "part": pa.array((hu.astype(np.uint64)
+                              % np.uint64(self.num_parts)).astype(np.int32)),
         })
 
 
-def _keep_duplicated(g: pa.Table, id_col: str, cross_doc: bool) -> pa.Table:
-    """One hash partition of window rows -> the rows whose hash run
-    qualifies as duplicated (>=2 distinct docs, or >=2 occurrences when
-    ``cross_doc`` is False). One lexsort; no per-run Python."""
+def _qualify(g: pa.Table, cross_doc: bool) -> pa.Table:
+    """One hash partition of window PARTIALS -> the qualifying hashes.
+    min/max/sum fold associatively across batch partials, so the
+    cross-doc test is exact without ever co-locating window rows."""
     if g.num_rows == 0:
-        return pa.table({id_col: pa.array([], type=pa.int64()),
-                         "pos": pa.array([], type=pa.int64())})
+        return pa.table({"h": pa.array([], type=pa.int64())})
     h = g["h"].to_numpy(zero_copy_only=False)
-    d = g[id_col].to_numpy(zero_copy_only=False)
-    p = g["pos"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((p, d, h))
-    h, d, p = h[order], d[order], p[order]
-    new_run = np.concatenate(([True], h[1:] != h[:-1]))
-    run_id = np.cumsum(new_run) - 1
-    n_runs = run_id[-1] + 1
+    mn = g["mn"].to_numpy(zero_copy_only=False)
+    mx = g["mx"].to_numpy(zero_copy_only=False)
+    cnt = g["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    h, mn, mx, cnt = h[order], mn[order], mx[order], cnt[order]
+    new = np.concatenate(([True], h[1:] != h[:-1]))
+    starts = np.flatnonzero(new)
+    hu = h[starts]
     if cross_doc:
-        # distinct docs per run: count (run, doc) boundaries
-        new_doc = new_run | np.concatenate(([True], d[1:] != d[:-1]))
-        qual_counts = np.bincount(run_id[new_doc], minlength=n_runs)
+        g_mn = np.minimum.reduceat(mn, starts)
+        g_mx = np.maximum.reduceat(mx, starts)
+        qual = g_mx > g_mn
     else:
-        qual_counts = np.bincount(run_id, minlength=n_runs)
-    keep = qual_counts[run_id] >= 2
-    return pa.table({
-        id_col: pa.array(d[keep], type=pa.int64()),
-        "pos": pa.array(p[keep], type=pa.int64()),
-    })
+        qual = np.add.reduceat(cnt, starts) >= 2
+    return pa.table({"h": pa.array(hu[qual])})
 
 
 def _merge_spans(g: pa.Table, id_col: str, L: int) -> pa.Table:
@@ -162,11 +220,13 @@ def duplicated_spans(
     min_len: int = 20,
     scope: str = "cross_doc",
     num_parts: int = 64,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
     concurrency: int | tuple | None = None,
 ):
     """Lazy Dataset of ``(id_col, span_start, span_end)`` — maximal
     duplicated-substring token spans per document (see module docstring
-    for semantics and the distributed plan)."""
+    for semantics and the two-pass distributed plan)."""
     import ray
 
     if scope not in ("cross_doc", "any"):
@@ -177,29 +237,61 @@ def duplicated_spans(
         except Exception:
             cpus = 8
         concurrency = (1, cpus)
-    wh = ds.map_batches(
+    base_kwargs = {"col": col, "id_col": id_col, "min_len": min_len,
+                   "num_parts": num_parts}
+
+    partials = ds.map_batches(
         WindowHashes,
-        fn_constructor_kwargs={"col": col, "id_col": id_col,
-                               "min_len": min_len, "num_parts": num_parts},
+        fn_constructor_kwargs={**base_kwargs, "mode": "partials"},
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,
     )
-    dup = wh.groupby("part").map_groups(
-        lambda g: _keep_duplicated(g, id_col, scope == "cross_doc"),
+    # summary-sized and output-bounded: materialized once, read twice
+    # (plan choice + probe/join input)
+    qual = partials.groupby("part").map_groups(
+        lambda g: _qualify(g, scope == "cross_doc"),
         batch_format="pyarrow",
-    )
+    ).materialize()
 
-    def tag_doc(b: pa.Table) -> pa.Table:
-        hh = pd.util.hash_array(b[id_col].to_numpy(zero_copy_only=False))
-        return b.append_column(
-            "dpart", pa.array((hh % np.uint64(num_parts)).astype(np.int32)))
+    n_qual = qual.count()
+    if n_qual <= broadcast_limit:
+        chunks = [b["h"].to_numpy(zero_copy_only=False)
+                  for b in qual.iter_batches(batch_format="pyarrow")]
+        qual_ref = ray.put(np.concatenate(chunks)
+                           if chunks else np.empty(0, np.int64))
+        hits = ds.map_batches(
+            WindowHashes,
+            fn_constructor_kwargs={**base_kwargs, "mode": "probe",
+                                   "qual_ref": qual_ref},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+    else:
+        rows = ds.map_batches(
+            WindowHashes,
+            fn_constructor_kwargs={**base_kwargs, "mode": "rows"},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+        joined = rows.join(qual, "inner", _join_partitions(num_partitions),
+                           on=("h",), aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
-    return (
-        dup.map_batches(tag_doc, batch_format="pyarrow")
-        .groupby("dpart")
-        .map_groups(lambda g: _merge_spans(g, id_col, min_len),
-                    batch_format="pyarrow")
+        def tag_doc(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: b[id_col],
+                "pos": b["pos"],
+                "dpart": pa.array(_doc_part(ids, num_parts)),
+            })
+
+        hits = joined.map_batches(tag_doc, batch_format="pyarrow")
+
+    return hits.groupby("dpart").map_groups(
+        lambda g: _merge_spans(g, id_col, min_len),
+        batch_format="pyarrow",
     )
 
 

@@ -121,6 +121,30 @@ def test_random_corpus_matches_reference(ray_session):
                 == _ref_spans(docs, L, cross_doc=False)), f"L={L} any"
 
 
+def test_join_fallover_plan_equals_broadcast_plan(ray_session):
+    import ray
+
+    from rayfts.ops.substr import duplicated_spans
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = {d: " ".join(rng.choice(vocab, size=40)) for d in range(30)}
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+
+    def spans(limit):
+        out = duplicated_spans(ds, min_len=3, num_parts=8,
+                               broadcast_limit=limit).to_pandas()
+        if out.empty:
+            return []
+        return sorted(map(tuple, out[["doc_id", "span_start", "span_end"]]
+                          .itertuples(index=False, name=None)))
+
+    ref = _ref_spans(docs, 3)
+    assert spans(10_000_000) == ref  # broadcast probe plan
+    assert spans(0) == ref           # partitioned-join fall-over plan
+
+
 def test_dup_span_stats_all_docs_integer_exact(ray_session):
     import ray
 
