@@ -80,34 +80,38 @@ def quality_gate_batch(
     return batch.filter(pa.array(mask)).select([id_col, col, "lang_pred", "n_tokens"])
 
 
-def _drop_larger_pair_ids(kept_ds, pairs_ds, id_col: str,
-                          drop_broadcast_limit: int):
-    """Remove every row whose id appears as ``id_b`` (the larger id) of a
-    verified near-dup pair. Broadcast semi-difference by default; falls
-    over to a distributed left-outer anti-join past the id budget."""
+def _semi_difference(src_ds, drop_ids_ds, drop_col: str, id_col: str,
+                     drop_broadcast_limit: int):
+    """Remove from ``src_ds`` every row whose ``id_col`` appears in
+    ``drop_ids_ds[drop_col]``. Broadcast semi-difference by default
+    (drop sets are output-sized); falls over to a distributed
+    left-outer anti-join past the id budget. NOTE: the join fall-over
+    requires join-safe lineage — Ray 2.49's hash join emits schema-less
+    empty partitions when a ``union`` appears upstream of either side,
+    which is why every default path here stays join-free."""
     from rayfts.ops.dedup import _JOIN_AGG_ARGS, _join_partitions
 
     chunks: list[np.ndarray] = []
     total = 0
-    for b in pairs_ds.select_columns(["id_b"]).iter_batches(batch_format="pyarrow"):
-        arr = b["id_b"].to_numpy(zero_copy_only=False)
+    for b in drop_ids_ds.select_columns([drop_col]).iter_batches(batch_format="pyarrow"):
+        arr = b[drop_col].to_numpy(zero_copy_only=False)
         chunks.append(arr)
         total += arr.size
         if total > drop_broadcast_limit:
             # distributed plan: dedupe the drop ids with a tiny aggregate,
             # attach a marker, left-outer join, keep the unmatched rows
             drop = (
-                pairs_ds.select_columns(["id_b"])
-                .groupby("id_b").count()
+                drop_ids_ds.select_columns([drop_col])
+                .groupby(drop_col).count()
                 .map_batches(
                     lambda t: pa.table({
-                        id_col: t["id_b"],
+                        id_col: t[drop_col],
                         "__drop": pa.array(np.ones(len(t), np.int8)),
                     }),
                     batch_format="pyarrow",
                 )
             )
-            joined = kept_ds.join(
+            joined = src_ds.join(
                 drop, "left_outer", _join_partitions(None), on=(id_col,),
                 aggregator_ray_remote_args=_JOIN_AGG_ARGS,
             )
@@ -121,7 +125,7 @@ def _drop_larger_pair_ids(kept_ds, pairs_ds, id_col: str,
     # np.unique returns a sorted array — searchsorted-ready as broadcast
     drop_ids = np.unique(np.concatenate(chunks or [np.empty(0, np.int64)]))
     if drop_ids.size == 0:
-        return kept_ds
+        return src_ds
     ref = ray.put(drop_ids)
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -131,7 +135,15 @@ def _drop_larger_pair_ids(kept_ds, pairs_ds, id_col: str,
         pos[pos >= ids.size] = 0
         return batch.filter(pa.array(ids[pos] != vals))
 
-    return kept_ds.map_batches(anti, batch_format="pyarrow")
+    return src_ds.map_batches(anti, batch_format="pyarrow")
+
+
+def _drop_larger_pair_ids(kept_ds, pairs_ds, id_col: str,
+                          drop_broadcast_limit: int):
+    """Remove every row whose id appears as ``id_b`` (the larger id) of a
+    verified near-dup pair (see :func:`_semi_difference` for the plan)."""
+    return _semi_difference(kept_ds, pairs_ds, "id_b", id_col,
+                            drop_broadcast_limit)
 
 
 def clean_corpus(
@@ -149,13 +161,24 @@ def clean_corpus(
     bands: int = 16,
     k: int = 3,
     drop_broadcast_limit: int = 5_000_000,
+    max_dup_permille: int | None = None,
+    dup_min_len: int = 20,
 ):
-    """Full corpus clean: gate -> exact dedup -> near-dup drop.
+    """Full corpus clean: gate -> [substring-dup gate] -> exact dedup ->
+    near-dup drop.
 
     Returns a Dataset of kept rows ``(id_col, lang_pred, n_tokens)``.
     The text column is carried through the dedup stages (minhash needs
     it) and projected away at the end.
-    """
+
+    ``max_dup_permille`` (integer per-mille, kept None by default so the
+    stage is opt-in) adds the ExactSubstr gate between the stateless
+    quality gate and exact dedup: docs whose duplicated-token count
+    satisfies ``dup_tokens * 1000 > n_tokens * max_dup_permille`` are
+    dropped (integer cross-multiplication, same oracle-exact idiom as
+    the other thresholds). Runs on the already-gated survivors, and its
+    duplication statistics are computed WITHIN that gated set — the
+    semantics a pipeline composing the two stages actually wants."""
     gated = ds.map_batches(
         lambda b: quality_gate_batch(
             b, col=col, id_col=id_col, langs=langs,
@@ -164,6 +187,27 @@ def clean_corpus(
         ),
         batch_format="pyarrow",
     )
+    if max_dup_permille is not None:
+        from rayfts.ops.substr import dup_span_stats
+
+        gated = gated.materialize()  # feeds the dup stats AND the drop
+        stats = dup_span_stats(gated, col=col, id_col=id_col,
+                               min_len=dup_min_len)
+
+        def dup_drop_ids(b):
+            import pyarrow as _pa
+
+            if b.num_rows == 0 or "dup_tokens" not in b.column_names:
+                # empty map_groups blocks upstream can arrive schema-less
+                return _pa.table({id_col: _pa.array([], type=_pa.int64())})
+            dt = b["dup_tokens"].to_numpy(zero_copy_only=False)
+            nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+            drop = dt * 1000 > nt * max_dup_permille
+            return _pa.table({id_col: b[id_col].filter(_pa.array(drop))})
+
+        drop_ids = stats.map_batches(dup_drop_ids, batch_format="pyarrow")
+        gated = _semi_difference(gated, drop_ids, id_col, id_col,
+                                 drop_broadcast_limit)
     # exact dedup keeps the smallest-id full row per distinct text;
     # materialize: it feeds BOTH the minhash pass and the final anti-join,
     # and must not recompute the gate + sha aggregate twice

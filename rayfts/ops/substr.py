@@ -302,7 +302,6 @@ def dup_span_stats(
     min_len: int = 20,
     scope: str = "cross_doc",
     num_parts: int = 64,
-    num_partitions: int | None = None,
     concurrency: int | tuple | None = None,
 ):
     """Per-document duplication stats: ``(id_col, n_tokens, dup_tokens)``
@@ -310,25 +309,29 @@ def dup_span_stats(
     columns only, so the result is exactly SQL-oracle comparable;
     ``dup_frac = dup_tokens / n_tokens`` is left to the consumer.
 
-    Plan: the span pipeline above, a tiny per-doc span-length aggregate,
-    then one doc-partitioned LEFT join against the (doc_id, n_tokens)
-    scan — both sides uniform in ``doc_id``. Used as a corpus-cleaning
-    gate (drop docs whose duplicated fraction exceeds a budget)."""
+    Plan: the span pipeline above, then — instead of a join — a
+    schema-aligned UNION of the (doc, n_tokens, dup=0) scan with the
+    (doc, 0, span_len) rows, folded by ONE uniform ``groupby(doc)``
+    sum. Each doc contributes exactly one count row, so the sums are
+    the per-doc stats directly; docs without spans fall out at 0 with
+    no outer-join machinery. Used as a corpus-cleaning gate (drop docs
+    whose duplicated fraction exceeds a budget)."""
     spans = duplicated_spans(ds, col, id_col, min_len=min_len, scope=scope,
                              num_parts=num_parts, concurrency=concurrency)
 
     def span_lengths(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "span_end" not in b.column_names:
+            # empty map_groups partitions can arrive schema-less
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "nt_p": pa.array([], type=pa.int64()),
+                             "dup_p": pa.array([], type=pa.int64())})
         lens = (b["span_end"].to_numpy(zero_copy_only=False)
                 - b["span_start"].to_numpy(zero_copy_only=False))
         return pa.table({
             id_col: b[id_col],
-            "dup_tokens_p": pa.array(lens, type=pa.int64()),
+            "nt_p": pa.array(np.zeros(b.num_rows, np.int64)),
+            "dup_p": pa.array(lens, type=pa.int64()),
         })
-
-    per_doc = (
-        spans.map_batches(span_lengths, batch_format="pyarrow")
-        .groupby(id_col).sum("dup_tokens_p")
-    )
 
     def tok_counts(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -341,23 +344,25 @@ def dup_span_stats(
             arr, pattern=r"[\p{L}\p{N}]+").to_numpy().astype(np.int64)
         return pa.table({
             id_col: b[id_col].cast(pa.int64()),
-            "n_tokens": pa.array(nt),
+            "nt_p": pa.array(nt),
+            "dup_p": pa.array(np.zeros(b.num_rows, np.int64)),
         })
 
     counts = ds.select_columns([id_col, col]).map_batches(
         tok_counts, batch_format="pyarrow")
-    joined = counts.join(
-        per_doc, "left_outer", _join_partitions(num_partitions),
-        on=(id_col,), aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+    both = counts.union(spans.map_batches(span_lengths,
+                                          batch_format="pyarrow"))
+    agg = both.groupby(id_col).sum(["nt_p", "dup_p"])
 
     def finish(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        dup = pc.coalesce(b["sum(dup_tokens_p)"], pa.scalar(0, pa.int64()))
+        if b.num_rows == 0 or "sum(nt_p)" not in b.column_names:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "dup_tokens": pa.array([], type=pa.int64())})
         return pa.table({
             id_col: b[id_col],
-            "n_tokens": b["n_tokens"],
-            "dup_tokens": dup,
+            "n_tokens": b["sum(nt_p)"],
+            "dup_tokens": b["sum(dup_p)"],
         })
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -82,3 +82,40 @@ def test_clean_corpus_no_drops(ray_session):
     out = clean_corpus(_ds(rows), min_tokens=20,
                        jaccard_threshold=0.995).to_pandas()
     assert sorted(out.doc_id.tolist()) == list(range(8))
+
+
+def test_substring_dup_gate_drops_boilerplate_heavy_doc(ray_session):
+    """max_dup_permille adds the ExactSubstr gate: a doc that is mostly
+    a passage shared with another doc is dropped; lightly-overlapping
+    docs survive; default (None) leaves the pipeline unchanged."""
+    from rayfts.ops.clean import clean_corpus
+
+    boiler = ("this license header is repeated verbatim across many "
+              "files in the repository and it is quite long indeed with "
+              "more than enough the tokens to pass the gate")
+    uniq = ("the completely original body of the document with the "
+            "other words that make it long enough for the token gate "
+            "and the quality thresholds to accept it today")
+    rows = [
+        (1, boiler + " " + uniq),                   # ~50% duplicated
+        (2, boiler + " tiny tail the the the the the end of it now with "
+            "the more filler words appended to reach the gate length"),
+        (3, "the entirely fresh third document the narrative about the "
+            "garden the weather the morning walk and the long quiet "
+            "afternoon spent reading the interesting new book outside"),
+    ]
+    strict = clean_corpus(_ds(rows), min_tokens=20, stop_pct=0,
+                          alpha_pct=40, jaccard_threshold=0.99,
+                          max_dup_permille=300,
+                          dup_min_len=8).to_pandas()
+    # docs 1 and 2 share the long boilerplate passage (> 30% of each);
+    # doc 3 shares nothing long enough
+    assert strict.doc_id.tolist() == [3]
+    loose = clean_corpus(_ds(rows), min_tokens=20, stop_pct=0,
+                         alpha_pct=40, jaccard_threshold=0.99,
+                         max_dup_permille=900,
+                         dup_min_len=8).to_pandas()
+    assert 1 in loose.doc_id.tolist() and 2 in loose.doc_id.tolist()
+    off = clean_corpus(_ds(rows), min_tokens=20, stop_pct=0,
+                       alpha_pct=40, jaccard_threshold=0.99).to_pandas()
+    assert set(off.doc_id) >= {1, 2, 3} - {2}  # only dedup stages apply
