@@ -559,6 +559,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dup_spans"] = dup_spans_q
 
+    def weighted_sample_q(sf):
+        """Token-budget-weighted Bernoulli sample: keep probability
+        min(1, n_tokens/2000) per doc — stateless integer-exact filter
+        (floor((w*num << 64)/den) threshold on splitmix64(id))."""
+        import pyarrow.compute as pc2
+
+        from rayfts.ops.sample import weighted_sample
+
+        def add_wt(b: pa.Table) -> pa.Table:
+            arr = b["text"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = pc2.fill_null(arr, "")
+            nt = pc2.count_substring_regex(
+                arr, pattern=r"[\p{L}\p{N}]+").to_numpy().astype(np.int64)
+            return pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                             "wt": pa.array(nt)})
+
+        ds = _docs_ds(sf).map_batches(add_wt, batch_format="pyarrow")
+        out = weighted_sample(ds, "wt", 1, 2000)
+        return out.select_columns(["doc_id"]).sort("doc_id")
+
+    q["weighted_sample"] = weighted_sample_q
+
     def dup_span_stats_q(sf):
         """Per-doc duplicated-token totals over the same spans (corpus-
         cleaning gate input); integer columns, LEFT-join keeps span-free
@@ -1364,6 +1388,18 @@ FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b
     sql["sample_uniform"] = f"""
 WITH {_splitmix_ctes("documents", "doc_id")}
 SELECT doc_id FROM smh WHERE h < {thr_10pct} ORDER BY doc_id
+"""
+    sql["weighted_sample"] = f"""
+WITH {_splitmix_ctes("documents", "doc_id")},
+w AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '[\\p{{L}}\\p{{N}}]+'))
+         AS HUGEINT) AS wt
+  FROM documents
+)
+SELECT s.doc_id FROM smh s JOIN w USING (doc_id)
+WHERE s.h < (w.wt * 1 * CAST('18446744073709551616' AS HUGEINT)) // 2000
+ORDER BY s.doc_id
 """
     sql["sample_stratified"] = f"""
 WITH {_splitmix_ctes("documents", "doc_id")},

@@ -349,13 +349,18 @@ def cmd_sample(args) -> int:
 
     import ray.data
 
-    from rayfts.ops.sample import deterministic_sample, stratified_sample_k
+    from rayfts.ops.sample import (deterministic_sample, stratified_sample_k,
+                                   weighted_sample)
 
     paths = sorted(p for pat in args.input for p in _glob.glob(pat)) or args.input
     ds = ray.data.read_parquet(paths)
     if args.group_col:
         out = stratified_sample_k(ds, args.group_col, args.id_col,
                                   k=args.k, seed=args.seed)
+    elif args.weight_col:
+        out = weighted_sample(ds, args.weight_col, args.rate_num,
+                              args.rate_den, id_col=args.id_col,
+                              seed=args.seed)
     else:
         out = deterministic_sample(ds, args.rate_num, args.rate_den,
                                    id_col=args.id_col, seed=args.seed)
@@ -647,6 +652,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--rate-num", type=int, default=10)
     sp.add_argument("--rate-den", type=int, default=100)
     sp.add_argument("--group-col", default=None)
+    sp.add_argument("--weight-col", default=None,
+                    help="integer weight column: keep prob = min(1, w*num/den)")
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=cmd_sample)

@@ -118,3 +118,40 @@ def stratified_sample_k(ds, group_col: str, id_col: str = "doc_id",
             .groupby("part")
             .map_groups(lambda g: head_k(g.drop_columns(["part"]), False),
                         batch_format="pyarrow"))
+
+
+def weighted_sample(ds, weight_col: str, num: int, den: int,
+                    id_col: str = "doc_id", seed: int = 42):
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability ``min(1, w * num / den)`` where ``w`` is the row's
+    non-negative integer weight (e.g. ``n_tokens`` for token-budget
+    sampling, a quality score in integer points, ...). Same guarantees
+    as :func:`deterministic_sample` — stateless vectorized filter, no
+    wide edges, kept set a pure function of (id, w, seed, num, den).
+
+    Exactness without 128-bit arrays: keep iff
+    ``h < floor(w*num * 2^64 / den)``, computed per row as
+    ``r*q0 + r*m // den`` with ``q0, m = divmod(2^64, den)`` and
+    ``q, r = divmod(w*num, den)`` (`q >= 1` keeps unconditionally) —
+    the algebraic identity makes every term fit uint64 for
+    ``den < 2^31``, and DuckDB reproduces the same floor directly in
+    HUGEINT, so the op is hash-oracle-checkable."""
+    if num < 0 or den <= 0 or den >= 1 << 31:
+        raise ValueError("need num >= 0 and 0 < den < 2^31")
+    q0, m = divmod(1 << 64, den)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64), seed)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any():
+            raise ValueError(f"negative weights in {weight_col}")
+        wn = w * num
+        q, r = np.divmod(wn, den)
+        r = r.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            thr = r * np.uint64(q0) + (r * np.uint64(m)) // np.uint64(den)
+        keep = (q >= 1) | (h < thr)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -1,5 +1,6 @@
 """Deterministic sampling operators (rayfts/ops/sample.py)."""
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from rayfts.ops.sample import splitmix64
@@ -80,3 +81,46 @@ def test_stratified_sample_small_groups_kept_whole(ray_session):
     out = stratified_sample_k(ray.data.from_arrow(t), "lang", "doc_id",
                               k=10).to_pandas()
     assert sorted(out.doc_id.tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_weighted_sample_matches_bigint_reference(ray_session):
+    import ray
+
+    from rayfts.ops.sample import splitmix64, weighted_sample
+
+    rng = np.random.default_rng(43)
+    ids = np.arange(5000, dtype=np.int64)
+    w = rng.integers(0, 3000, size=5000).astype(np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "wt": w}))
+    num, den = 1, 2000
+    got = sorted(weighted_sample(ds, "wt", num, den).to_pandas()["doc_id"])
+    h = splitmix64(ids.view(np.uint64), 42)
+    exp = [int(i) for i in ids
+           if int(h[i]) < (int(w[i]) * num << 64) // den]
+    assert got == exp
+    assert 0 < len(got) < 5000
+    # weight >= den/num -> always kept; weight 0 -> never kept
+    assert all(int(w[i]) < 2000 or i in set(got) for i in ids)
+    assert all(int(w[i]) > 0 or i not in set(got) for i in ids)
+
+
+def test_weighted_sample_chunking_invariant_and_errors(ray_session):
+    import pytest as _pytest
+    import ray
+
+    from rayfts.ops.sample import weighted_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64),
+                       "wt": np.arange(1000, dtype=np.int64) % 50})
+    a = sorted(weighted_sample(
+        ray.data.from_pandas(df), "wt", 1, 40).to_pandas()["doc_id"])
+    b = sorted(weighted_sample(
+        ray.data.from_pandas(df).repartition(13), "wt", 1, 40)
+        .to_pandas()["doc_id"])
+    assert a == b
+    with _pytest.raises(ValueError):
+        weighted_sample(ray.data.from_pandas(df), "wt", 1, 1 << 40)
+    neg = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "wt": [-5]}))
+    with _pytest.raises(Exception):
+        weighted_sample(neg, "wt", 1, 10).to_pandas()
