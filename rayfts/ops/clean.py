@@ -83,59 +83,45 @@ def quality_gate_batch(
 def _semi_difference(src_ds, drop_ids_ds, drop_col: str, id_col: str,
                      drop_broadcast_limit: int):
     """Remove from ``src_ds`` every row whose ``id_col`` appears in
-    ``drop_ids_ds[drop_col]``. Broadcast semi-difference by default
-    (drop sets are output-sized); falls over to a distributed
-    left-outer anti-join past the id budget. NOTE: the join fall-over
-    requires join-safe lineage — Ray 2.49's hash join emits schema-less
-    empty partitions when a ``union`` appears upstream of either side,
-    which is why every default path here stays join-free."""
-    from rayfts.ops.dedup import _JOIN_AGG_ARGS, _join_partitions
+    ``drop_ids_ds[drop_col]``. Entirely JOIN-FREE (Ray 2.49's hash join
+    emits schema-less empty partitions when a ``union`` appears anywhere
+    upstream, and drop sets here routinely have union lineage):
 
+    - drop sets up to ``drop_broadcast_limit`` ids broadcast as ONE
+      sorted array, probed per batch with ``searchsorted``;
+    - larger drop sets broadcast as a CHAIN of sorted chunks, each its
+      own ``ray.put`` + anti-filter ``map_batches``; Ray fuses chained
+      map operators, so the corpus is still scanned once, and the
+      driver only ever holds one chunk transiently (the object store
+      owns the rest, spilling if needed)."""
+    chunk_cap = max(int(drop_broadcast_limit), 1 << 20)
+
+    def anti_fn(ref):
+        def anti(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            vals = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, vals)
+            pos[pos >= ids.size] = 0
+            return batch.filter(pa.array(ids[pos] != vals))
+
+        return anti
+
+    out = src_ds
     chunks: list[np.ndarray] = []
     total = 0
     for b in drop_ids_ds.select_columns([drop_col]).iter_batches(batch_format="pyarrow"):
         arr = b[drop_col].to_numpy(zero_copy_only=False)
         chunks.append(arr)
         total += arr.size
-        if total > drop_broadcast_limit:
-            # distributed plan: dedupe the drop ids with a tiny aggregate,
-            # attach a marker, left-outer join, keep the unmatched rows
-            drop = (
-                drop_ids_ds.select_columns([drop_col])
-                .groupby(drop_col).count()
-                .map_batches(
-                    lambda t: pa.table({
-                        id_col: t[drop_col],
-                        "__drop": pa.array(np.ones(len(t), np.int8)),
-                    }),
-                    batch_format="pyarrow",
-                )
-            )
-            joined = src_ds.join(
-                drop, "left_outer", _join_partitions(None), on=(id_col,),
-                aggregator_ray_remote_args=_JOIN_AGG_ARGS,
-            )
-
-            def keep_unmatched(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                return t.filter(pc.is_null(t["__drop"])).drop_columns(["__drop"])
-
-            return joined.map_batches(keep_unmatched, batch_format="pyarrow")
-    # np.unique returns a sorted array — searchsorted-ready as broadcast
-    drop_ids = np.unique(np.concatenate(chunks or [np.empty(0, np.int64)]))
-    if drop_ids.size == 0:
-        return src_ds
-    ref = ray.put(drop_ids)
-
-    def anti(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        vals = batch[id_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ids, vals)
-        pos[pos >= ids.size] = 0
-        return batch.filter(pa.array(ids[pos] != vals))
-
-    return src_ds.map_batches(anti, batch_format="pyarrow")
+        if total > chunk_cap:
+            ids = np.unique(np.concatenate(chunks))
+            out = out.map_batches(anti_fn(ray.put(ids)),
+                                  batch_format="pyarrow")
+            chunks, total = [], 0
+    ids = np.unique(np.concatenate(chunks or [np.empty(0, np.int64)]))
+    if ids.size:
+        out = out.map_batches(anti_fn(ray.put(ids)), batch_format="pyarrow")
+    return out
 
 
 def _drop_larger_pair_ids(kept_ds, pairs_ds, id_col: str,

@@ -23,7 +23,9 @@ Distributed shape (two streaming passes + summary exchanges):
    capped at ``max_vocab`` most-frequent unigrams (ties broken by
    token hash) — on a 100 TB corpus the FULL bigram table is too big
    to broadcast, and the cap is the standard LM answer; grams outside
-   the cap fall back to add-one smoothing over the capped V.
+   the cap fall back to add-one smoothing over the capped V, and a
+   kept bigram whose CONTEXT fell out of the vocab is dropped too
+   (cb <= cu invariant). The cap sorts run only when a cap binds.
 3. **Score pass**: stateless ``map_batches`` — re-tokenize, hash grams,
    two ``searchsorted`` probes, one vectorized log.
 
@@ -53,9 +55,16 @@ def _doc_token_hashes(batch: pa.Table, col: str):
     sp = pc.split_pattern_regex(arr, pattern=r"[^\p{L}\p{N}]+")
     counts = pc.list_value_length(sp).to_numpy().astype(np.int64)
     flat = pc.utf8_lower(pc.list_flatten(sp))
-    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
-    keep = lens > 0
-    th = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))[keep]
+    # hash only the UNIQUE tokens (dictionary), then scatter — on a
+    # Zipfian stream this is orders of magnitude fewer Python objects
+    # than hashing every occurrence
+    denc = flat.dictionary_encode()
+    uniq = denc.dictionary
+    uh = pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
+    ind = denc.indices.to_numpy().astype(np.int64)
+    nonempty = pc.utf8_length(uniq).to_numpy().astype(np.int64) > 0
+    keep = nonempty[ind]
+    th = uh[ind][keep]
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
     return th, doc_idx, n
 
@@ -72,10 +81,14 @@ def _gram_partials(th: np.ndarray, doc_idx: np.ndarray):
         same = doc_idx[1:] == doc_idx[:-1]
         with np.errstate(over="ignore"):
             bg = (th[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ th[1:]
-        bi, bc = np.unique(bg[same], return_counts=True)
+        prev = th[:-1][same]
+        bi, first, bc = np.unique(bg[same], return_index=True,
+                                  return_counts=True)
+        ctx = prev[first]  # context token hash, constant per bigram key
     else:
         bi, bc = np.empty(0, np.uint64), np.empty(0, np.int64)
-    return uni, uc.astype(np.int64), bi, bc.astype(np.int64)
+        ctx = np.empty(0, np.uint64)
+    return uni, uc.astype(np.int64), bi, bc.astype(np.int64), ctx
 
 
 def bigram_lm_scores(
@@ -97,28 +110,43 @@ def bigram_lm_scores(
 
     def partials(b: pa.Table) -> pa.Table:
         th, di, _ = _doc_token_hashes(b, col)
-        uni, uc, bi, bc = _gram_partials(th, di)
+        uni, uc, bi, bc, ctx = _gram_partials(th, di)
         return pa.table({
             "g": pa.array(np.concatenate([uni, bi]).astype(np.int64)),
             "kind": pa.array(np.concatenate([
                 np.zeros(uni.size, np.int8), np.ones(bi.size, np.int8)])),
             "c": pa.array(np.concatenate([uc, bc])),
+            # context token hash per bigram key (0 for unigram rows) —
+            # lets the cap logic keep the cb <= cu invariant
+            "ctx": pa.array(np.concatenate(
+                [np.zeros(uni.size, np.int64), ctx.astype(np.int64)])),
         })
+
+    from ray.data.aggregate import Min, Sum
 
     folded = (ds.select_columns([col])
               .map_batches(partials, batch_format="pyarrow")
-              .groupby(["g", "kind"]).sum("c").materialize())
+              .groupby(["g", "kind"])
+              .aggregate(Sum("c"), Min("ctx")).materialize())
 
-    def top_unigrams(b: pa.Table) -> pa.Table:
-        m = b["kind"].to_numpy(zero_copy_only=False) == 0
-        return pa.table({"g": b["g"].filter(pa.array(m)),
-                         "c": b["sum(c)"].filter(pa.array(m))})
+    def only_kind(k):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["kind"].to_numpy(zero_copy_only=False) == k
+            return pa.table({"g": b["g"].filter(pa.array(m)),
+                             "c": b["sum(c)"].filter(pa.array(m)),
+                             "ctx": b["min(ctx)"].filter(pa.array(m))})
 
+        return f
+
+    uni_ds = folded.map_batches(only_kind(0), batch_format="pyarrow")
     # vocabulary cap: top max_vocab unigrams by (count desc, hash) —
-    # the sort/limit runs in Ray, the driver sees <= max_vocab rows
-    uni_df = (folded.map_batches(top_unigrams, batch_format="pyarrow")
-              .sort(["c", "g"], descending=[True, False])
-              .limit(max_vocab).to_pandas())
+    # the sort/limit runs in Ray, the driver sees <= max_vocab rows;
+    # the (expensive) distributed sort is SKIPPED when the cap does not
+    # bind, which is every realistic sub-corpus
+    if uni_ds.count() > max_vocab:
+        uni_ds = (uni_ds.sort(["c", "g"], descending=[True, False])
+                  .limit(max_vocab))
+    uni_df = uni_ds.to_pandas()
     V = len(uni_df)
     if V == 0:
         return ds.select_columns([id_col]).map_batches(
@@ -132,17 +160,20 @@ def bigram_lm_scores(
     uni_sorted = uni_keys[uni_order]
     uni_counts = uni_df["c"].to_numpy().astype(np.int64)[uni_order]
 
-    def kept_bigrams(b: pa.Table) -> pa.Table:
-        m = b["kind"].to_numpy(zero_copy_only=False) == 1
-        return pa.table({"g": b["g"].filter(pa.array(m)),
-                         "c": b["sum(c)"].filter(pa.array(m))})
-
     # bigram table capped like the vocab (top by count; ties by key) so
     # the broadcast stays bounded at corpus scale; dropped rare bigrams
-    # degrade to the add-one floor, which is exactly their neighborhood
-    bi_df = (folded.map_batches(kept_bigrams, batch_format="pyarrow")
-             .sort(["c", "g"], descending=[True, False])
-             .limit(max_bigrams).to_pandas())
+    # degrade to the add-one floor, which is exactly their neighborhood.
+    # Sort only when the cap binds, and keep ONLY bigrams whose context
+    # survived the vocab cap — otherwise a kept bigram could carry more
+    # mass than its zeroed context (cb <= cu invariant)
+    bi_ds = folded.map_batches(only_kind(1), batch_format="pyarrow")
+    if bi_ds.count() > max_bigrams:
+        bi_ds = (bi_ds.sort(["c", "g"], descending=[True, False])
+                 .limit(max_bigrams))
+    bi_df = bi_ds.to_pandas()
+    ctx = bi_df["ctx"].to_numpy().astype(np.int64)
+    ix = np.clip(np.searchsorted(uni_sorted, ctx), 0, uni_sorted.size - 1)
+    bi_df = bi_df[uni_sorted[ix] == ctx]
     bi_keys = bi_df["g"].to_numpy().astype(np.int64)
     bi_order = np.argsort(bi_keys)
     model_ref = ray.put((uni_sorted, uni_counts,

@@ -138,7 +138,11 @@ def weighted_sample(ds, weight_col: str, num: int, den: int,
     HUGEINT, so the op is hash-oracle-checkable."""
     if num < 0 or den <= 0 or den >= 1 << 31:
         raise ValueError("need num >= 0 and 0 < den < 2^31")
-    q0, m = divmod(1 << 64, den)
+    if den == 1:
+        q0, m = 0, 0  # r is always 0; q = w*num decides alone (q0=2^64
+        # would overflow uint64 — review finding)
+    else:
+        q0, m = divmod(1 << 64, den)
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -146,6 +150,11 @@ def weighted_sample(ds, weight_col: str, num: int, den: int,
         w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if (w < 0).any():
             raise ValueError(f"negative weights in {weight_col}")
+        if w.size and int(w.max()) * num > 1 << 62:
+            # int64 product would wrap silently and diverge from the
+            # HUGEINT oracle — refuse instead (review finding)
+            raise ValueError(
+                f"w*num overflows int64 (max weight {int(w.max())}, num {num})")
         wn = w * num
         q, r = np.divmod(wn, den)
         r = r.astype(np.uint64)
