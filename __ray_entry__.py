@@ -583,6 +583,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["weighted_sample"] = weighted_sample_q
 
+    def value_moments_q(sf):
+        """Per-event-type integer-cent moment partials (count / sum /
+        sum-of-squares) — mergeable, one uniform-key exchange; mean and
+        variance are one division away."""
+        from rayfts.ops.profile import grouped_moments
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        return grouped_moments(ds, "event_type", "value", scale=100).sort(
+            "event_type")
+
+    q["value_moments"] = value_moments_q
+
+    def users_per_type_q(sf):
+        """Exact distinct users per event type: local pair dedup ->
+        distinct-pair exchange -> tiny per-group count."""
+        from rayfts.ops.profile import grouped_distinct
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"))
+        return grouped_distinct(ds, "event_type", "user_id").sort("event_type")
+
+    q["users_per_type"] = users_per_type_q
+
     def dup_span_stats_q(sf):
         """Per-doc duplicated-token totals over the same spans (corpus-
         cleaning gate input); integer columns, LEFT-join keeps span-free
@@ -1458,6 +1480,22 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(dsum.dt, CAST(0 AS BIGINT)) AS dup_tokens
 FROM t LEFT JOIN dsum USING (doc_id)
 ORDER BY doc_id
+"""
+    # grouped profiling aggregates: integer-cent moments + exact
+    # distinct-per-group
+    sql["value_moments"] = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_scaled,
+       CAST(sum(CAST(round_even(value * 100, 0) AS BIGINT)
+                * CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sumsq_scaled
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+    sql["users_per_type"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
 """
     # bigram-LM scores: integer corpus counts + one float division per
     # bigram; avg rounded half-even on both sides (summation-order safe)
