@@ -420,6 +420,8 @@ def key_range_join(
             "key": pa.array([], type=pa.int64()),
             "delta_us": pa.array([], type=pa.int64()),
         })
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
         keys = g["key"].to_numpy(zero_copy_only=False)
         ts = g["ts_us"].to_numpy(zero_copy_only=False)
         ids = g["id"].to_numpy(zero_copy_only=False)
@@ -502,9 +504,9 @@ def top_k_per_group(
     giant group arrives pre-truncated.
     """
 
-    def schema_empty() -> pa.Table:
+    def schema_empty(gtype) -> pa.Table:
         return pa.table({
-            group_col: pa.array([], type=pa.string()),
+            group_col: pa.array([], type=gtype),
             "rank": pa.array([], type=pa.int64()),
             id_col: pa.array([], type=pa.int64()),
             value_col: pa.array([], type=pa.float64()),
@@ -512,9 +514,11 @@ def top_k_per_group(
         })
 
     def head_k(b: pa.Table, with_part: bool) -> pa.Table:
-        if b.num_rows == 0:
-            return (schema_empty() if with_part
-                    else schema_empty().drop_columns(["part"]))
+        gtype = (b.schema.field(group_col).type
+                 if group_col in b.column_names else pa.string())
+        if b.num_rows == 0 or group_col not in b.column_names:
+            e = schema_empty(gtype)
+            return e if with_part else e.drop_columns(["part"])
         denc = b[group_col].combine_chunks().dictionary_encode()
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         groups = np.asarray(denc.dictionary.to_pylist(), dtype=object)
@@ -527,14 +531,23 @@ def top_k_per_group(
         kept = order[rank_in_group < k]
         rank = (rank_in_group[rank_in_group < k] + 1)
         out_groups = groups[codes[kept]]
+        out_arr = pa.array(out_groups.tolist(), type=gtype)
         cols = {
-            group_col: pa.array(out_groups.tolist(), type=pa.string()),
+            group_col: out_arr,
             "rank": pa.array(rank, type=pa.int64()),
             id_col: pa.array(ids[kept], type=pa.int64()),
             value_col: pa.array(vals[kept], type=pa.float64()),
         }
         if with_part:
-            h = pd.util.hash_array(out_groups)
+            # value-based, batch-independent partition hash for ANY key
+            # type: strings hash directly, everything else through an
+            # Arrow string cast (vectorized), so int/date keys no longer
+            # break the schema or the object-array hash
+            if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
+                h = pd.util.hash_array(out_groups)
+            else:
+                h = pd.util.hash_array(
+                    out_arr.cast(pa.string()).to_numpy(zero_copy_only=False))
             cols["part"] = pa.array(
                 (h % np.uint64(num_parts)).astype(np.int32))
         return pa.table(cols)

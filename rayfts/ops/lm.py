@@ -75,7 +75,10 @@ def _gram_partials(th: np.ndarray, doc_idx: np.ndarray):
     if th.size == 0:
         e = np.empty(0, np.uint64)
         z = np.empty(0, np.int64)
-        return e, z, e, z
+        # 5-tuple like the normal path (uni, uc, bi, bc, ctx) — a batch
+        # of all-empty texts must not crash the unpack in partials()
+        return e, z, np.empty(0, np.uint64), np.empty(0, np.int64), \
+            np.empty(0, np.uint64)
     uni, uc = np.unique(th, return_counts=True)
     if th.size >= 2:
         same = doc_idx[1:] == doc_idx[:-1]
@@ -96,7 +99,7 @@ def bigram_lm_scores(
     col: str = "text",
     id_col: str = "doc_id",
     max_vocab: int = 1 << 20,
-    max_bigrams: int = 1 << 26,
+    max_bigrams: int = 1 << 23,
     round_to: int = 6,
 ):
     """Lazy Dataset of ``(id_col, n_bigrams, nll)`` — per-doc average
@@ -138,6 +141,19 @@ def bigram_lm_scores(
 
         return f
 
+    def pull_cols(d, cols):
+        """Stream a (cap-bounded) Dataset's columns into flat int64
+        numpy arrays — no driver-side pandas frame; peak driver memory
+        is ~2x the final arrays (chunks + concat), i.e. bounded by the
+        caps: default max_bigrams = 2^23 rows x 24 B ~ 200 MB."""
+        parts = {c: [] for c in cols}
+        for b in d.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            for c in cols:
+                parts[c].append(b[c].to_numpy(zero_copy_only=False))
+        return tuple(
+            np.concatenate(parts[c]).astype(np.int64) if parts[c]
+            else np.empty(0, np.int64) for c in cols)
+
     uni_ds = folded.map_batches(only_kind(0), batch_format="pyarrow")
     # vocabulary cap: top max_vocab unigrams by (count desc, hash) —
     # the sort/limit runs in Ray, the driver sees <= max_vocab rows;
@@ -146,8 +162,8 @@ def bigram_lm_scores(
     if uni_ds.count() > max_vocab:
         uni_ds = (uni_ds.sort(["c", "g"], descending=[True, False])
                   .limit(max_vocab))
-    uni_df = uni_ds.to_pandas()
-    V = len(uni_df)
+    uni_keys, uni_counts_raw = pull_cols(uni_ds, ["g", "c"])
+    V = uni_keys.size
     if V == 0:
         return ds.select_columns([id_col]).map_batches(
             lambda b: pa.table({
@@ -155,10 +171,9 @@ def bigram_lm_scores(
                 "n_bigrams": pa.array(np.zeros(b.num_rows, np.int64)),
                 "nll": pa.array([None] * b.num_rows, type=pa.float64()),
             }), batch_format="pyarrow")
-    uni_keys = uni_df["g"].to_numpy().astype(np.int64)
     uni_order = np.argsort(uni_keys)
     uni_sorted = uni_keys[uni_order]
-    uni_counts = uni_df["c"].to_numpy().astype(np.int64)[uni_order]
+    uni_counts = uni_counts_raw[uni_order]
 
     # bigram table capped like the vocab (top by count; ties by key) so
     # the broadcast stays bounded at corpus scale; dropped rare bigrams
@@ -170,15 +185,13 @@ def bigram_lm_scores(
     if bi_ds.count() > max_bigrams:
         bi_ds = (bi_ds.sort(["c", "g"], descending=[True, False])
                  .limit(max_bigrams))
-    bi_df = bi_ds.to_pandas()
-    ctx = bi_df["ctx"].to_numpy().astype(np.int64)
+    bi_keys_raw, bi_cnt_raw, ctx = pull_cols(bi_ds, ["g", "c", "ctx"])
     ix = np.clip(np.searchsorted(uni_sorted, ctx), 0, uni_sorted.size - 1)
-    bi_df = bi_df[uni_sorted[ix] == ctx]
-    bi_keys = bi_df["g"].to_numpy().astype(np.int64)
+    keep = uni_sorted[ix] == ctx
+    bi_keys = bi_keys_raw[keep]
     bi_order = np.argsort(bi_keys)
     model_ref = ray.put((uni_sorted, uni_counts,
-                         bi_keys[bi_order],
-                         bi_df["c"].to_numpy().astype(np.int64)[bi_order]))
+                         bi_keys[bi_order], bi_cnt_raw[keep][bi_order]))
 
     def score(b: pa.Table) -> pa.Table:
         us, ucnt, bs, bcnt = ray.get(model_ref)
@@ -211,8 +224,7 @@ def bigram_lm_scores(
         return pa.table({
             id_col: pa.array(ids),
             "n_bigrams": pa.array(nb),
-            "nll": pa.array([None if nb[i] == 0 else float(avg[i])
-                             for i in range(n)], type=pa.float64()),
+            "nll": pa.array(avg, type=pa.float64(), mask=nb == 0),
         })
 
     return ds.select_columns([id_col, col]).map_batches(

@@ -41,11 +41,14 @@ def grouped_moments(ds, key: str, col: str, scale: int = 100):
         sv = np.round(v * scale).astype(np.int64)
         uk, inv = np.unique(k, return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
-        s = np.bincount(inv, weights=sv.astype(np.float64)).astype(np.int64)
-        # sum of squares fits int64 for |v*scale| < ~3e9 over ~1e9 rows
-        # per batch-group; exactness guarded by the float64 mantissa for
-        # per-batch partials (value magnitudes documented by the caller)
-        sq = np.bincount(inv, weights=(sv.astype(np.float64) ** 2)).astype(np.int64)
+        # accumulate in int64 (np.add.at), NOT float64 bincount weights —
+        # float64 partials silently lose precision past 2^53 per
+        # batch-group; int64 keeps the documented exact contract up to
+        # int64 range (overflow there raises loudly in numpy >= 2)
+        s = np.zeros(uk.size, np.int64)
+        np.add.at(s, inv, sv)
+        sq = np.zeros(uk.size, np.int64)
+        np.add.at(sq, inv, sv * sv)
         return pa.table({
             key: pa.array(uk),
             "cnt_p": pa.array(cnt),

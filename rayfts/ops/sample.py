@@ -83,9 +83,9 @@ def stratified_sample_k(ds, group_col: str, id_col: str = "doc_id",
     """
     import pandas as pd
 
-    def schema_empty(with_part: bool) -> pa.Table:
+    def schema_empty(with_part: bool, gtype) -> pa.Table:
         cols = {
-            group_col: pa.array([], type=pa.string()),
+            group_col: pa.array([], type=gtype),
             id_col: pa.array([], type=pa.int64()),
         }
         if with_part:
@@ -93,8 +93,10 @@ def stratified_sample_k(ds, group_col: str, id_col: str = "doc_id",
         return pa.table(cols)
 
     def head_k(b: pa.Table, with_part: bool) -> pa.Table:
-        if b.num_rows == 0:
-            return schema_empty(with_part)
+        gtype = (b.schema.field(group_col).type
+                 if group_col in b.column_names else pa.string())
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return schema_empty(with_part, gtype)
         denc = b[group_col].combine_chunks().dictionary_encode()
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         groups = np.asarray(denc.dictionary.to_pylist(), dtype=object)
@@ -104,13 +106,20 @@ def stratified_sample_k(ds, group_col: str, id_col: str = "doc_id",
         c = codes[order]
         rank = np.arange(c.size, dtype=np.int64) - _seg_start_per_row(c)
         kept = order[rank < k]
+        out_arr = pa.array(groups[codes[kept]].tolist(), type=gtype)
         cols = {
-            group_col: pa.array(groups[codes[kept]].tolist(),
-                                type=pa.string()),
+            group_col: out_arr,
             id_col: pa.array(ids[kept], type=pa.int64()),
         }
         if with_part:
-            hp = pd.util.hash_array(groups[codes[kept]])
+            # value-based hash for any comparable key type (non-string
+            # keys cast through Arrow string first) — same fix as
+            # top_k_per_group in ops/joins.py
+            if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
+                hp = pd.util.hash_array(groups[codes[kept]])
+            else:
+                hp = pd.util.hash_array(
+                    out_arr.cast(pa.string()).to_numpy(zero_copy_only=False))
             cols["part"] = pa.array((hp % np.uint64(num_parts)).astype(np.int32))
         return pa.table(cols)
 

@@ -259,3 +259,24 @@ def test_asof_chunked_carry_across_empty_chunks(ray_session):
     assert out.id.tolist() == [1, 2]
     assert out.matched_id.tolist() == [77, 77]
     assert (out.matched_ts_us == 3_000_000).all()
+
+
+def test_top_k_per_group_int_key(ray_session):
+    # non-string group keys preserve their type (ADVICE r03)
+    import ray
+
+    from rayfts.ops.joins import top_k_per_group
+
+    df = pd.DataFrame({
+        "g": np.repeat(np.arange(5, dtype=np.int64), 10),
+        "v": np.arange(50, dtype=np.float64),
+        "i": np.arange(50, dtype=np.int64),
+    })
+    out = top_k_per_group(
+        ray.data.from_pandas(df).repartition(3), "g", "v", "i", k=2
+    ).to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    assert out["g"].dtype == np.int64
+    exp = (df.sort_values(["g", "v"], ascending=[True, False])
+           .groupby("g").head(2))
+    assert set(map(tuple, out[["g", "i"]].to_numpy())) == \
+        set(map(tuple, exp[["g", "i"]].to_numpy()))

@@ -94,3 +94,27 @@ def test_bad_params_raise(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         bigram_lm_scores(ds, max_vocab=0)
+
+
+def test_all_empty_text_partition(ray_session):
+    # an entire partition of empty/null/whitespace texts must not crash
+    # the partial unpack (ADVICE r03: empty path returned a 4-tuple)
+    docs = {0: "", 1: None, 2: "   ", 3: "\t\n", 4: ""}
+    assert _run(docs) == {i: (0, None) for i in docs}
+
+
+def test_empty_partition_mixed_with_real(ray_session):
+    import ray
+
+    from rayfts.ops.lm import bigram_lm_scores
+
+    df = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": ["", "", "", ""] + ["the cat sat on the mat"] * 4,
+    })
+    # repartition so at least one block is all-empty
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = bigram_lm_scores(ds).to_pandas().sort_values("doc_id")
+    assert (out["n_bigrams"].to_numpy() == [0, 0, 0, 0, 5, 5, 5, 5]).all()
+    assert out["nll"].isna().to_numpy()[:4].all()
+    assert out["nll"].notna().to_numpy()[4:].all()

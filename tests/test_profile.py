@@ -61,3 +61,19 @@ def test_moments_bad_scale(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1.0]}))
     with pytest.raises(ValueError):
         grouped_moments(ds, "k", "v", scale=0)
+
+
+def test_grouped_moments_large_values_exact(ray_session):
+    # int64 accumulation keeps exactness where float64 partials lose it
+    # (ADVICE r03: 1000 rows of 123456.78 at scale=100 drifted by 3040)
+    import ray
+
+    from rayfts.ops.profile import grouped_moments
+
+    df = pd.DataFrame({"k": ["a"] * 1000, "v": [123456.78] * 1000})
+    sv = 12345678
+    ds = ray.data.from_pandas(df).repartition(1)
+    out = grouped_moments(ds, "k", "v", scale=100).to_pandas()
+    assert out.loc[0, "cnt"] == 1000
+    assert out.loc[0, "sum_scaled"] == sv * 1000
+    assert out.loc[0, "sumsq_scaled"] == sv * sv * 1000

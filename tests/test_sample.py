@@ -124,3 +124,25 @@ def test_weighted_sample_chunking_invariant_and_errors(ray_session):
         {"doc_id": [1], "wt": [-5]}))
     with _pytest.raises(Exception):
         weighted_sample(neg, "wt", 1, 10).to_pandas()
+
+
+def test_stratified_sample_int_key(ray_session):
+    # non-string group keys preserve their type (ADVICE r03)
+    import ray
+
+    from rayfts.ops.sample import stratified_sample_k
+
+    df = pd.DataFrame({
+        "g": np.repeat(np.arange(4, dtype=np.int64), 25),
+        "doc_id": np.arange(100, dtype=np.int64),
+    })
+    out = stratified_sample_k(
+        ray.data.from_pandas(df).repartition(3), "g", k=3
+    ).to_pandas()
+    assert out["g"].dtype == np.int64
+    assert out.groupby("g").size().to_dict() == {0: 3, 1: 3, 2: 3, 3: 3}
+    # determinism across a different partitioning
+    out2 = stratified_sample_k(
+        ray.data.from_pandas(df).repartition(7), "g", k=3).to_pandas()
+    assert set(map(tuple, out[["g", "doc_id"]].to_numpy())) == \
+        set(map(tuple, out2[["g", "doc_id"]].to_numpy()))
