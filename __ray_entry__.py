@@ -957,7 +957,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["video_frame_sample"] = video_frames_q
 
-    return {k: _retry_once_on_ray_flake(k, v) for k, v in q.items()}
+    # Run order: the driver walks this dict in insertion order and its
+    # budget can truncate the tail (round 3 checked exactly the first 50
+    # keys). Put the rows that have never had a driver correctness entry
+    # FIRST, then already-green rows cheapest-first, so any truncation
+    # drops only previously-verified expensive rows.
+    run_order = [
+        # never driver-checked before round 4 (all cheap)
+        "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
+        "asof_join_hot_safe", "range_join_signup_purchase",
+        "topk_per_group_events", "multimodal_decode",
+        "multimodal_resize_features", "video_frame_sample",
+        # cheap, green in round 3
+        "tumbling_window_agg", "value_moments", "users_per_type",
+        "quantiles_value", "quantiles_by_type", "distinct_users",
+        "hll_distinct_users", "sample_uniform", "sample_stratified",
+        "weighted_sample", "token_stats", "token_counts", "quality_stats",
+        "langid", "fingerprints", "scrub_text", "heavy_hitters",
+        "pack_documents", "embedding_topk", "embedding_near_dup",
+        "embedding_near_dup_bucketed", "ann_ivf_topk",
+        "ann_ivf_partial_probe",
+        # index-backed (one shared build, then cheap reads)
+        "term_topk", "stopword_topk", "or_topk", "and_docs",
+        "must_not_docs", "phrase_docs", "range_term_docs",
+        "range_numeric_docs", "regex_docs", "fuzzy_docs", "count_all",
+        "term_count", "facet_lang_counts", "sort_by_fast_field",
+        "batch_search", "bm25_stemmed_topk", "snippets",
+        # heavy corpus passes last
+        "term_stats_top50", "lm_scores", "exact_dedup_kept",
+        "simhash_near_dup", "ngram_jaccard_pairs", "minhash_dedup_pairs",
+        "dup_spans", "dup_span_stats", "corpus_clean", "term_postings",
+    ]
+    assert set(run_order) == set(q), (
+        set(run_order) ^ set(q))  # keep the list exhaustive
+    return {k: _retry_once_on_ray_flake(k, q[k]) for k in run_order}
 
 
 
