@@ -912,34 +912,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["topk_per_group_events"] = topk_group_q
 
     def multimodal_q(sf):
-        from rayfts.ops.multimodal import DecodeImage, decode_pipeline, synth_media_table
+        """REAL image decode (stdlib zlib PNG codec when PIL is absent,
+        rayfts/ops/media_codec.py): the fixture pixels are a closed form
+        of media_id, so the SQL oracle recomputes width/height/pixel_sum
+        with generate_series — a wrong decode cannot hash-match."""
+        from rayfts.ops.multimodal import (DecodeImage, decode_pipeline,
+                                           synth_png_table)
 
-        ds = ray.data.from_arrow(synth_media_table(64))
-        out = decode_pipeline(ds, DecodeImage, fake=True)
+        ds = ray.data.from_arrow(synth_png_table(64))
+        out = decode_pipeline(ds, DecodeImage, fake=False)
         return pa.Table.from_pylist(
-            sorted(out.select_columns(["media_id", "width", "height", "channels"]).take_all(),
+            sorted(out.select_columns(
+                ["media_id", "width", "height", "channels", "pixel_sum"]).take_all(),
                    key=lambda r: r["media_id"])
         )
 
     q["multimodal_decode"] = multimodal_q
 
     def multimodal_chain_q(sf):
-        from rayfts.ops.multimodal import (ImageFeatures, ResizeImage,
-                                           decode_pipeline, synth_media_table)
+        """REAL resize chain: PNG decode -> nearest-neighbor 8x8 resize
+        (floor index mapping) -> PNG re-encode -> decode again; the SQL
+        oracle reproduces the resized pixel sums exactly."""
+        from rayfts.ops.multimodal import (DecodeImage, ResizeImage,
+                                           decode_pipeline, synth_png_table)
 
-        ds = ray.data.from_arrow(synth_media_table(32))
-        resized = decode_pipeline(ds, ResizeImage, fake=True, target=32)
-        feats = decode_pipeline(resized, ImageFeatures, fake=True)
-        rows = sorted(feats.select_columns(["media_id", "width", "features"]).take_all(),
-                      key=lambda r: r["media_id"])
-        return pa.table({
-            "media_id": pa.array([r["media_id"] for r in rows], type=pa.int64()),
-            "width": pa.array([r["width"] for r in rows], type=pa.int32()),
-            "feat0": pa.array([round(float(r["features"][0]), 5) for r in rows],
-                              type=pa.float64()),
-        })
+        ds = ray.data.from_arrow(synth_png_table(32))
+        resized = decode_pipeline(ds, ResizeImage, fake=False, target=8)
+        out = decode_pipeline(resized, DecodeImage, fake=False)
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(
+                ["media_id", "width", "height", "pixel_sum"]).take_all(),
+                   key=lambda r: r["media_id"])
+        )
 
     q["multimodal_resize_features"] = multimodal_chain_q
+
+    def multimodal_audio_q(sf):
+        """REAL PCM-16 WAV decode via the stdlib wave module; sample
+        sums against a generate_series SQL oracle."""
+        from rayfts.ops.multimodal import (DecodeAudio, decode_pipeline,
+                                           synth_wav_table)
+
+        ds = ray.data.from_arrow(synth_wav_table(48))
+        out = decode_pipeline(ds, DecodeAudio, fake=False)
+        return pa.Table.from_pylist(
+            sorted(out.select_columns(
+                ["media_id", "n_samples", "sample_rate", "n_channels",
+                 "sample_sum"]).take_all(),
+                   key=lambda r: r["media_id"])
+        )
+
+    q["multimodal_audio_decode"] = multimodal_audio_q
 
     def video_frames_q(sf):
         from rayfts.ops.multimodal import (VideoFrameSample, decode_pipeline,
@@ -967,7 +990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
         "topk_per_group_events", "multimodal_decode",
-        "multimodal_resize_features", "video_frame_sample",
+        "multimodal_resize_features", "multimodal_audio_decode",
+        "video_frame_sample",
         # cheap, green in round 3
         "tumbling_window_agg", "value_moments", "users_per_type",
         "quantiles_value", "quantiles_by_type", "distinct_users",
@@ -1755,5 +1779,41 @@ SELECT event_type, rank, event_id, value FROM (
                             ORDER BY value DESC, event_id) AS BIGINT) AS rank
   FROM events)
 WHERE rank <= 5 ORDER BY event_type, rank
+"""
+    # multimodal: the fixtures (synth_png_table / synth_wav_table,
+    # rayfts/ops/multimodal.py) put closed-form pixels/samples into REAL
+    # PNG/WAV bytes; the engine decodes the bytes (stdlib zlib/wave
+    # codec, rayfts/ops/media_codec.py) and these oracles recompute the
+    # same sums symbolically — decode bugs cannot hash-match.
+    sql["multimodal_decode"] = """
+WITH imgs AS (
+  SELECT i, 16 + (i % 13) AS w, 16 + ((i * 7) % 11) AS h FROM range(0, 64) t(i)),
+px AS (
+  SELECT i, w, h, (x * 3 + y * 5 + c * 7 + i) % 256 AS v
+  FROM imgs, range(0, 28) tx(x), range(0, 26) ty(y), range(0, 3) tc(c)
+  WHERE x < w AND y < h)
+SELECT i AS media_id, w AS width, h AS height, 3 AS channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY 1, 2, 3 ORDER BY 1
+"""
+    sql["multimodal_resize_features"] = """
+WITH imgs AS (
+  SELECT i, 16 + (i % 13) AS w, 16 + ((i * 7) % 11) AS h FROM range(0, 32) t(i)),
+px AS (
+  SELECT i, (((x * w) // 8) * 3 + ((y * h) // 8) * 5 + c * 7 + i) % 256 AS v
+  FROM imgs, range(0, 8) tx(x), range(0, 8) ty(y), range(0, 3) tc(c))
+SELECT i AS media_id, 8 AS width, 8 AS height, CAST(SUM(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY 1 ORDER BY 1
+"""
+    sql["multimodal_audio_decode"] = """
+WITH clips AS (
+  SELECT i, 8000 + 100 * (i % 8) AS sr, 500 + ((i * 13) % 300) AS n
+  FROM range(0, 48) t(i)),
+s AS (
+  SELECT i, sr, n, ((t * 31 + i * 17) % 65536) - 32768 AS v
+  FROM clips, range(0, 800) tt(t) WHERE t < n)
+SELECT i AS media_id, n AS n_samples, sr AS sample_rate, 1 AS n_channels,
+       CAST(SUM(v) AS BIGINT) AS sample_sum
+FROM s GROUP BY 1, 2, 3 ORDER BY 1
 """
     return sql

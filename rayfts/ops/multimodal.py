@@ -4,13 +4,17 @@ stages.
 
 Each stage loads its decoder library once per actor in ``__init__``:
 with the library present (and ``fake=False``) the REAL kernel runs
-(PIL decode/resize, soundfile frames, av key frames); without it the
-stage either raises ``NotImplementedError`` (default) or runs a
-clearly-marked deterministic fake (``fake=True``) so the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is
-real and tested end-to-end even in library-less environments like this
-one. Real branches are covered by ``pytest.importorskip``-guarded
-tests that activate wherever the libraries exist.
+(PIL decode/resize, soundfile frames, av key frames). Image and audio
+stages additionally carry a REAL pure-stdlib codec path
+(``rayfts.ops.media_codec``: PNG via zlib, WAV via the ``wave``
+module) used when the library is absent — so ``fake=False`` genuinely
+decodes bytes even in library-less environments like this one, and
+the driver hash-checks decoded dims + pixel/sample sums against SQL
+oracles. Only the video stage (no stdlib codec exists) falls back to
+``NotImplementedError`` (default) or the clearly-marked deterministic
+fake (``fake=True``). Real library branches are covered by
+``pytest.importorskip``-guarded tests that activate wherever the
+libraries exist.
 
 At 100 TB the shapes matter: binary payloads make wide rows, so these
 stages run with small ``batch_size`` and bounded ``concurrency`` and emit
@@ -46,11 +50,56 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
     })
 
 
+def synth_png_table(n: int) -> pa.Table:
+    """REAL PNG payloads with closed-form pixels, so a SQL oracle can
+    recompute what a correct decode must report: image ``i`` is
+    ``w = 16 + i % 13``, ``h = 16 + (i*7) % 11``, RGB with
+    ``pixel[y, x, c] = (x*3 + y*5 + c*7 + i) % 256``."""
+    from rayfts.ops.media_codec import encode_png
+
+    payloads = []
+    for i in range(n):
+        w, h = 16 + i % 13, 16 + (i * 7) % 11
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        px = (x[None, :, None] * 3 + y[:, None, None] * 5
+              + c[None, None, :] * 7 + i) % 256
+        payloads.append(encode_png(px.astype(np.uint8)))
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "media_type": pa.array(["image"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "meta_json": pa.array(["{}"] * n, type=pa.string()),
+    })
+
+
+def synth_wav_table(n: int) -> pa.Table:
+    """REAL PCM-16 WAV payloads with closed-form samples: clip ``i`` is
+    mono, ``rate = 8000 + 100*(i % 8)``, ``n = 500 + (i*13) % 300``
+    samples of ``s[t] = ((t*31 + i*17) % 65536) - 32768``."""
+    from rayfts.ops.media_codec import encode_wav
+
+    payloads = []
+    for i in range(n):
+        t = np.arange(500 + (i * 13) % 300, dtype=np.int64)
+        s = ((t * 31 + i * 17) % 65536) - 32768
+        payloads.append(encode_wav(s.astype(np.int16), 8000 + 100 * (i % 8)))
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "media_type": pa.array(["audio"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "meta_json": pa.array(["{}"] * n, type=pa.string()),
+    })
+
+
 class _MediaStage:
     """Base actor-pool stage: real decoder loaded once per actor in
-    __init__ when available; deterministic fake otherwise."""
+    __init__ when available; stdlib codec real path where one exists
+    (``has_stdlib_codec``); deterministic fake only on request."""
 
     lib_name: str | None = None
+    has_stdlib_codec: bool = False
 
     def __init__(self, fake: bool = False, drop_payload: bool = True):
         self.fake = fake
@@ -61,18 +110,23 @@ class _MediaStage:
                 self.lib = __import__(self.lib_name)
             except ImportError:
                 self.lib = None
-        if self.lib is None and not fake:
+        if self.lib is None and not fake and not self.has_stdlib_codec:
             raise NotImplementedError(
                 f"{type(self).__name__}: {self.lib_name!r} not available in this "
                 "environment; pass fake=True for the deterministic stub"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.lib is not None and not self.fake:
+        if self.fake:
+            return self._call_fake(batch)
+        if self.lib is not None:
             return self._call_real(batch)
-        return self._call_fake(batch)
+        return self._call_stdlib(batch)
 
     def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        raise NotImplementedError
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
         raise NotImplementedError
 
     def _call_fake(self, batch: pa.Table) -> pa.Table:
@@ -80,6 +134,8 @@ class _MediaStage:
 
     def _finish(self, batch: pa.Table, cols: dict[str, pa.Array]) -> pa.Table:
         for name, arr in cols.items():
+            if name in batch.column_names:  # chained stages overwrite
+                batch = batch.drop_columns([name])
             batch = batch.append_column(name, arr)
         if self.drop_payload and "payload" in batch.column_names:
             batch = batch.drop_columns(["payload"])
@@ -93,37 +149,55 @@ def _pil_image(lib):  # pragma: no cover - lib-gated
 
 
 class DecodeImage(_MediaStage):
-    """payload -> (width, height, channels). Real path decodes headers
-    with PIL; FAKE path derives dims from a payload digest."""
+    """payload -> (width, height, channels, pixel_sum). Real path
+    decodes with PIL; stdlib path decodes PNG bytes with
+    ``media_codec.decode_png`` (zlib — a genuine decode, so the driver
+    oracle on pixel_sum proves the codec); FAKE path derives everything
+    from a payload digest."""
 
     lib_name = "PIL"
+    has_stdlib_codec = True
+
+    def _out(self, batch, ws, hs, cs, sums):
+        return self._finish(batch, {
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "channels": pa.array(cs, type=pa.int32()),
+            "pixel_sum": pa.array(sums, type=pa.int64()),
+        })
 
     def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
         Image = _pil_image(self.lib)
-        ws, hs, cs = [], [], []
+        ws, hs, cs, sums = [], [], [], []
         for payload in batch["payload"].to_pylist():
             with Image.open(io.BytesIO(payload)) as im:
                 ws.append(im.width)
                 hs.append(im.height)
                 cs.append(len(im.getbands()))
-        return self._finish(batch, {
-            "width": pa.array(ws, type=pa.int32()),
-            "height": pa.array(hs, type=pa.int32()),
-            "channels": pa.array(cs, type=pa.int32()),
-        })
+                sums.append(int(np.asarray(im, dtype=np.int64).sum()))
+        return self._out(batch, ws, hs, cs, sums)
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
+        from rayfts.ops.media_codec import decode_png
+
+        ws, hs, cs, sums = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            arr = decode_png(payload)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            cs.append(arr.shape[2])
+            sums.append(int(arr.astype(np.int64).sum()))
+        return self._out(batch, ws, hs, cs, sums)
 
     def _call_fake(self, batch: pa.Table) -> pa.Table:
-        ws, hs, cs = [], [], []
+        ws, hs, cs, sums = [], [], [], []
         for payload in batch["payload"].to_pylist():
             d = hashlib.sha256(payload or b"").digest()
             ws.append(64 + d[0] % 192)
             hs.append(64 + d[1] % 192)
             cs.append(3)
-        return self._finish(batch, {
-            "width": pa.array(ws, type=pa.int32()),
-            "height": pa.array(hs, type=pa.int32()),
-            "channels": pa.array(cs, type=pa.int32()),
-        })
+            sums.append(int.from_bytes(d[2:6], "big"))
+        return self._out(batch, ws, hs, cs, sums)
 
 
 class ImageFeatures(_MediaStage):
@@ -131,6 +205,7 @@ class ImageFeatures(_MediaStage):
     thumbnail, normalized pixels; FAKE path: normalized sha256 bytes."""
 
     lib_name = "PIL"
+    has_stdlib_codec = True
     DIM = 16
 
     def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
@@ -140,6 +215,27 @@ class ImageFeatures(_MediaStage):
             with Image.open(io.BytesIO(payload)) as im:
                 small = im.convert("L").resize((4, 4))
                 v = np.asarray(small, dtype=np.float32).reshape(self.DIM)
+            v = v / (np.linalg.norm(v) or 1.0)
+            feats.append(v.tolist())
+        return self._finish(batch, {
+            "features": pa.array(feats, type=pa.list_(pa.float32(), self.DIM)),
+        })
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
+        """PNG decode -> integer BT.601 luma -> nearest 4x4 -> L2 norm.
+        Real pixels end-to-end; only the resample kernel differs from
+        the PIL branch."""
+        from rayfts.ops.media_codec import decode_png, resize_nearest
+
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            arr = decode_png(payload).astype(np.int64)
+            if arr.shape[2] >= 3:
+                luma = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                        + 114 * arr[:, :, 2]) // 1000
+            else:
+                luma = arr[:, :, 0]
+            v = resize_nearest(luma, 4, 4).astype(np.float32).reshape(self.DIM)
             v = v / (np.linalg.norm(v) or 1.0)
             feats.append(v.tolist())
         return self._finish(batch, {
@@ -197,11 +293,29 @@ class ResizeImage(_MediaStage):
     after it; batch sizing stays small for the wide rows."""
 
     lib_name = "PIL"
+    has_stdlib_codec = True
 
     def __init__(self, target: int = 64, **kw):
         kw.setdefault("drop_payload", False)
         super().__init__(**kw)
         self.target = target
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
+        """Real PNG -> nearest-neighbor resize -> real PNG re-encode
+        (floor index mapping; see media_codec.resize_nearest)."""
+        from rayfts.ops.media_codec import (decode_png, encode_png,
+                                            resize_nearest)
+
+        out = []
+        for payload in batch["payload"].to_pylist():
+            arr = resize_nearest(decode_png(payload), self.target, self.target)
+            out.append(encode_png(arr))
+        batch = batch.drop_columns(["payload"])
+        return self._finish(batch, {
+            "payload": pa.array(out, type=pa.binary()),
+            "width": pa.array([self.target] * batch.num_rows, type=pa.int32()),
+            "height": pa.array([self.target] * batch.num_rows, type=pa.int32()),
+        })
 
     def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
         Image = _pil_image(self.lib)
@@ -232,6 +346,57 @@ class ResizeImage(_MediaStage):
             "width": pa.array([self.target] * batch.num_rows, type=pa.int32()),
             "height": pa.array([self.target] * batch.num_rows, type=pa.int32()),
         })
+
+
+class DecodeAudio(_MediaStage):
+    """payload -> (n_samples, sample_rate, n_channels, sample_sum).
+    Real path reads with soundfile; stdlib path decodes PCM-16 WAV with
+    the ``wave`` module (a genuine decode — the driver oracle on
+    sample_sum proves it); FAKE path digests."""
+
+    lib_name = "soundfile"
+    has_stdlib_codec = True
+
+    def _out(self, batch, ns, srs, chs, sums):
+        return self._finish(batch, {
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "n_channels": pa.array(chs, type=pa.int32()),
+            "sample_sum": pa.array(sums, type=pa.int64()),
+        })
+
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        ns, srs, chs, sums = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            data, sr = self.lib.read(io.BytesIO(payload), dtype="int16",
+                                     always_2d=True)
+            ns.append(int(data.size))
+            srs.append(int(sr))
+            chs.append(int(data.shape[1]))
+            sums.append(int(data.astype(np.int64).sum()))
+        return self._out(batch, ns, srs, chs, sums)
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
+        from rayfts.ops.media_codec import decode_wav
+
+        ns, srs, chs, sums = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            samples, sr, ch = decode_wav(payload)
+            ns.append(int(samples.size))
+            srs.append(sr)
+            chs.append(ch)
+            sums.append(int(samples.astype(np.int64).sum()))
+        return self._out(batch, ns, srs, chs, sums)
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
+        ns, srs, chs, sums = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            d = hashlib.sha256(payload or b"").digest()
+            ns.append(256 + d[0])
+            srs.append(8000)
+            chs.append(1)
+            sums.append(int.from_bytes(d[1:5], "big") - (1 << 31))
+        return self._out(batch, ns, srs, chs, sums)
 
 
 class VideoFrameSample(_MediaStage):

@@ -326,17 +326,19 @@ def test_multimodal_real_pil_branch(ray_session):
 
 
 def test_multimodal_fake_flag_required_without_libs():
-    """Without the decoder library, fake=False must raise loudly instead
-    of silently running the stub."""
-    from rayfts.ops.multimodal import DecodeImage
+    """Stages WITHOUT a stdlib codec (video) must raise loudly on
+    fake=False when the decoder library is missing, instead of silently
+    running the stub. Image/audio stages now carry a real stdlib codec
+    path and legitimately accept fake=False (test_multimodal_codec.py)."""
+    from rayfts.ops.multimodal import VideoFrameSample
 
     try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present; the no-lib branch is not reachable")
+        import av  # noqa: F401
+        pytest.skip("av present; the no-lib branch is not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        DecodeImage(fake=False)
+    with pytest.raises(NotImplementedError, match="av"):
+        VideoFrameSample(fake=False)
 
 
 def test_ngram_jaccard_exact_pairs(ray_session):
