@@ -625,3 +625,24 @@ def test_range_query_fuzz(idx):
             pass
 
     check()
+
+
+def test_fuzzy_batch_matches_scalar_dp():
+    """The vectorized batch DP must agree with the scalar banded DP on
+    random strings, for distances 0-2, with and without transposition."""
+    import numpy as np
+
+    from rayfts.query.exec import _fuzzy_batch_within, _levenshtein_within
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdé✓")
+    pool = ["".join(rng.choice(alphabet, size=rng.integers(0, 9)))
+            for _ in range(400)]
+    terms = np.asarray(pool, dtype=object)
+    for query in ["abca", "", "décba", "✓ab", "aaaaaaa"]:
+        for limit in (0, 1, 2):
+            for tr in (False, True):
+                got = _fuzzy_batch_within(query, terms, limit, tr)
+                exp = np.array([
+                    _levenshtein_within(query, t, limit, tr) for t in pool])
+                assert (got == exp).all(), (query, limit, tr)
