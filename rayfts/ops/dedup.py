@@ -520,6 +520,26 @@ def _jaccard_from_blobs(ba: bytes | None, bb: bytes | None) -> float:
     return inter / union if union else 0.0
 
 
+_BANDS_WORKER_CACHE: dict = {}
+
+
+def _bands_task_fn(batch: pa.Table, col: str, id_col: str, num_perm: int,
+                   bands: int, k: int) -> pa.Table:
+    """Task-pool wrapper for :class:`MinHashBands`. The stage's only
+    state is a token-hash CACHE (pure performance, no correctness), so
+    it does not need an actor pool: Ray tasks reuse long-lived worker
+    processes, and this module-global keeps one warm stage per worker —
+    the same cache locality with ZERO actor-pool cold-start (the eager
+    fixed pool cost ~2s wall at bench scale and paid actor startup on
+    every call at cluster scale)."""
+    key = (col, id_col, num_perm, bands, k)
+    st = _BANDS_WORKER_CACHE.get(key)
+    if st is None:
+        st = _BANDS_WORKER_CACHE[key] = MinHashBands(
+            col=col, id_col=id_col, num_perm=num_perm, bands=bands, k=k)
+    return st(batch)
+
+
 def minhash_dedup_pairs(
     ds,
     col: str = "text",
@@ -560,18 +580,15 @@ def minhash_dedup_pairs(
          the driver. The corpus crosses the shuffle once (id+text
          columns only).
     """
-    if concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        n = max(2, cpus // 2)
-        concurrency = (n, n)  # eager fixed pool (autoscaling ramp is slow)
+    # Task pool (not actors): _bands_task_fn keeps a warm per-worker
+    # stage, so there is no actor cold-start and the streaming executor
+    # sizes parallelism itself; `concurrency` caps it when given.
     band_rows = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs={"col": col, "id_col": id_col,
-                               "num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow", concurrency=concurrency,
+        _bands_task_fn,
+        fn_kwargs={"col": col, "id_col": id_col,
+                   "num_perm": num_perm, "bands": bands, "k": k},
+        batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency is not None else {}),
     )
 
     def tag_part(b: pa.Table) -> pa.Table:

@@ -646,3 +646,49 @@ def test_fuzzy_batch_matches_scalar_dp():
                 exp = np.array([
                     _levenshtein_within(query, t, limit, tr) for t in pool])
                 assert (got == exp).all(), (query, limit, tr)
+
+
+def test_snippet_conformance_vectors():
+    """Fragment-selection conformance beyond the reference's single
+    golden (/root/reference/test/basic.js:49): multi-term window
+    choice, ~150-char token-aligned truncation, HTML escaping around
+    and between adjacent highlights, and the no-match empty result."""
+    from rayfts.analysis.analyzer import Analyzer
+    from rayfts.query.snippet import SnippetGenerator
+
+    an = Analyzer("default")
+
+    def snip(text, terms):
+        return SnippetGenerator(an, terms).snippet(text)
+
+    # 1) multi-term: the window holding BOTH distinct terms (weighted)
+    #    beats one with a single repeated term
+    text = ("alpha alpha alpha " + "filler " * 30 + "beta gamma")
+    out = snip(text, {"beta": 1.0, "gamma": 1.0, "alpha": 1.0})
+    assert "<b>beta</b> <b>gamma</b>" in out
+    assert "alpha" not in out  # window shifted away from the head
+
+    # 2) truncation: fragment is token-aligned and <= 150 chars of raw
+    #    text (tags/escapes excluded)
+    long_text = " ".join(f"w{i:03d}" for i in range(60)) + " target tail"
+    out = snip(long_text, {"target": 1.0})
+    raw = out.replace("<b>", "").replace("</b>", "")
+    assert len(raw) <= 150
+    assert "<b>target</b>" in out
+    # token alignment: no partial word at either edge
+    assert not raw.startswith(" ") and not raw.endswith(" ")
+    for w in raw.split(" "):
+        assert w in long_text.split(" "), w
+
+    # 3) adjacent matches each get their own tags; separators escaped
+    out = snip("x <tag> & more more", {"more": 1.0})
+    assert out == "x &lt;tag&gt; &amp; <b>more</b> <b>more</b>"
+
+    # 4) stemmed-analyzer matching still highlights the SURFACE form
+    sten = Analyzer("en_stem")
+    st_terms = {sten.tokens("running")[0]: 1.0}
+    out = SnippetGenerator(sten, st_terms).snippet("he was running fast")
+    assert out == "he was <b>running</b> fast"
+
+    # 5) no query term present -> empty string (JS layer: missing)
+    assert snip("nothing relevant here", {"zzz": 1.0}) == ""
