@@ -124,6 +124,38 @@ def bench_query_set(index_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_fuzzy_latency(index_dir: str) -> dict[str, float]:
+    """Fuzzy-vs-term serving latency over the code-corpus vocabulary
+    (VERDICT r3 #2 done-criterion: fuzzy within ~5x of a term query).
+    Median of repeated warm single-query evaluations."""
+    from rayfts.query.ast import Fuzzy, Term
+    from rayfts.query.searcher import Searcher
+
+    s = Searcher(index_dir)
+    s.query_string("match", limit=10)  # warm mmaps + term dicts
+    # one fuzzy warm-up materializes the per-segment term arrays /
+    # lengths (steady-state serving keeps them resident)
+    s.top_k(Fuzzy("content", "matcx", distance=1, transposition=True), 10)
+
+    def med(fn, n=7):
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[n // 2]
+
+    term_s = med(lambda: s.top_k(Term("content", "match"), 10))
+    d1_s = med(lambda: s.top_k(
+        Fuzzy("content", "matcx", distance=1, transposition=True), 10))
+    d2_s = med(lambda: s.top_k(
+        Fuzzy("content", "matcx", distance=2, transposition=True), 10))
+    return {"term_s": term_s, "fuzzy_d1_s": d1_s, "fuzzy_d2_s": d2_s,
+            "fuzzy_d1_vs_term": round(d1_s / term_s, 2) if term_s else 0.0,
+            "fuzzy_d2_vs_term": round(d2_s / term_s, 2) if term_s else 0.0}
+
+
 def bench_serve_pool(index_dir: str) -> float:
     from rayfts.query.ast import Term
     from rayfts.query.serve import SearchService
@@ -399,6 +431,10 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     for q, t in qtimes.items():
         queries[f"q:{q}"] = round(t, 5)
 
+    fz = bench_fuzzy_latency(idx)
+    queries["q:fuzzy_d1"] = round(fz["fuzzy_d1_s"], 5)
+    queries["q:fuzzy_d2"] = round(fz["fuzzy_d2_s"], 5)
+
     # sharded serving over the UNMERGED many-segment index (the shape when
     # there is no compaction budget): SearchService with 8 actors, each
     # owning a contiguous segment slice, batched search_many
@@ -452,6 +488,8 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_stage_metrics": stage_metrics,
         "serve_queries_per_sec": round(qps, 1),
         "sharded_serve_queries_per_sec": round(sharded_qps, 1),
+        "fuzzy_d1_vs_term": fz["fuzzy_d1_vs_term"],
+        "fuzzy_d2_vs_term": fz["fuzzy_d2_vs_term"],
         "vm_burn_1proc_sec": vm_calibration(),
         "vm_burn_16proc_sec": vm_calibration_parallel(16),
     }

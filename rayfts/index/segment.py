@@ -44,6 +44,11 @@ class _LazyTermEntry(dict):
             v = np.asarray(self["terms_pa"].to_pylist(), dtype=object)
             self[key] = v
             return v
+        if key == "term_lens":  # codepoint lengths, Arrow-vectorized
+            v = pa.compute.utf8_length(
+                self["terms_pa"]).to_numpy(zero_copy_only=False).astype(np.int64)
+            self[key] = v
+            return v
         raise KeyError(key)
 
 import numpy as np

@@ -169,6 +169,41 @@ def search_from_dsl(obj: dict) -> Search:
         raise QueryParseError(f"malformed search request: {e}") from e
 
 
+def routing_terms(q: Query) -> list[tuple[str, str]] | None:
+    """A NECESSARY-term set for shard routing: (field, term) pairs such
+    that any matching document's segment must contain at least one of
+    them — a shard whose term dictionaries hold none of the pairs can be
+    skipped entirely. ``None`` means "not provable, send everywhere"
+    (range/regex/fuzzy/all/raw, or boolean shapes without a routable
+    positive clause).
+
+    Soundness: Term needs its term; Phrase needs every term, so any one
+    is necessary; Bool with ``must`` restricts matches to each must
+    clause (a routable must's set transfers); Bool with only ``should``
+    is the union of its clauses (the union of all their sets, valid only
+    when every clause is routable); ``must_not`` only shrinks matches."""
+    if isinstance(q, Term):
+        return [(q.field, q.value)]
+    if isinstance(q, Phrase):
+        return [(q.field, q.terms[0])] if q.terms else None
+    if isinstance(q, Bool):
+        if q.must:
+            for m in q.must:
+                r = routing_terms(m)
+                if r is not None:
+                    return r
+            return None
+        if q.should:
+            out: list[tuple[str, str]] = []
+            for s in q.should:
+                r = routing_terms(s)
+                if r is None:
+                    return None
+                out.extend(r)
+            return out
+    return None
+
+
 def collect_scored_terms(q: Query) -> list[tuple[str, str]]:
     """(field, term) pairs needing global df for BM25 idf."""
     out: list[tuple[str, str]] = []

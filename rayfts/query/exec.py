@@ -285,45 +285,68 @@ def _levenshtein_within(a: str, b: str, limit: int, transposition: bool) -> bool
 
 
 def _fuzzy_batch_within(query: str, terms: np.ndarray, limit: int,
-                        transposition: bool) -> np.ndarray:
-    """Vectorized (Damerau-)Levenshtein ``<= limit`` for a BATCH of
-    candidate terms: one DP whose cells are numpy vectors over all
-    candidates at once (codepoint matrix + column-wise min recurrence),
-    so a multi-million-term dictionary costs ~|query|^2 vector ops
-    instead of per-term Python DP calls. Returns a bool mask."""
+                        transposition: bool,
+                        lens: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized BANDED (Damerau-)Levenshtein ``<= limit`` for a BATCH
+    of candidate terms. The DP runs in diagonal coordinates: for column
+    ``j`` (candidate prefix length) only the ``2*limit+1`` diagonals
+    ``i = j + d, |d| <= limit`` can stay within the threshold, so each
+    column costs ``2*limit+1`` small-int vector ops over all candidates
+    at once (values saturate at ``limit+1``) — a multi-million-term
+    dictionary scans in a handful of band-lane passes instead of
+    per-term Python DP calls. Returns a bool mask."""
     n = len(terms)
     m = len(query)
-    out = np.full(n, m, dtype=np.int64)  # distance for empty candidates
+    INF = np.int16(limit + 1)
     if n == 0:
-        return out <= limit
-    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+        return np.zeros(0, dtype=bool)
+    if lens is None:
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    out = np.full(n, min(m, int(INF)), dtype=np.int16)  # empty candidates
     lmax = int(lens.max(initial=0))
     if lmax == 0 or m == 0:
-        # one side empty: distance is the other side's length
-        out = np.where(lens > 0, np.maximum(lens, m), out)
+        other = np.minimum(np.maximum(lens, m), int(INF))
+        out = np.where(lens > 0, other.astype(np.int16), out)
         return out <= limit
     qc = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
     # candidate codepoint matrix (n, lmax), zero-padded — padding never
     # leaks because each candidate's result is read at j == its length
     U = np.asarray(terms, dtype=f"<U{lmax}").view(np.uint32).reshape(n, lmax)
-    col_prev = np.repeat(np.arange(m + 1, dtype=np.int64)[:, None], n, axis=1)
-    col_prev_prev = None
+    W = 2 * limit + 1
+    # band lane k = d + limit holds D(j + d, j)
+    band_prev = np.empty((W, n), dtype=np.int16)
+    for k in range(W):
+        d = k - limit
+        band_prev[k] = d if 0 <= d <= min(m, limit) else INF
+    band_pp = None
     for j in range(1, lmax + 1):
         cj = U[:, j - 1]
-        col = np.empty((m + 1, n), dtype=np.int64)
-        col[0] = j
-        for i in range(1, m + 1):
-            cost = (cj != qc[i - 1]).astype(np.int64)
-            v = np.minimum(col_prev[i] + 1, col[i - 1] + 1)
-            v = np.minimum(v, col_prev[i - 1] + cost)
-            if transposition and col_prev_prev is not None and i > 1 and j > 1:
+        band = np.full((W, n), INF, dtype=np.int16)
+        for k in range(W):
+            i = j + k - limit
+            if i < 0 or i > m:
+                continue
+            if i == 0:
+                band[k] = min(j, int(INF))
+                continue
+            # D(i-1, j-1) + cost — same lane, previous column
+            v = band_prev[k] + (cj != qc[i - 1]).astype(np.int16)
+            if k > 0:  # D(i-1, j) + 1 — lower lane, THIS column
+                v = np.minimum(v, band[k - 1] + np.int16(1))
+            if k + 1 < W:  # D(i, j-1) + 1 — upper lane, previous column
+                v = np.minimum(v, band_prev[k + 1] + np.int16(1))
+            if transposition and band_pp is not None and i >= 2 and j >= 2:
                 tr = (cj == qc[i - 2]) & (U[:, j - 2] == qc[i - 1])
-                v = np.where(tr, np.minimum(v, col_prev_prev[i - 2] + 1), v)
-            col[i] = v
+                v = np.where(tr, np.minimum(v, band_pp[k] + np.int16(1)), v)
+            band[k] = np.minimum(v, INF)
         fin = lens == j
         if fin.any():
-            out[fin] = col[m][fin]
-        col_prev_prev, col_prev = col_prev, col
+            k_fin = m - j + limit  # lane of D(m, j)
+            if 0 <= k_fin < W:
+                out[fin] = band[k_fin][fin]
+            else:  # outside the band: distance surely > limit
+                out[fin] = INF
+        band_pp, band_prev = band_prev, band
     return out <= limit
 
 
@@ -336,14 +359,15 @@ def _exec_fuzzy(q: Fuzzy, seg: SegmentReader, stats: GlobalStats) -> Matches:
     instead of automaton states."""
     e = seg.term_dict(q.field)
     arr = e["terms"]
-    lens = np.fromiter((len(t) for t in arr), dtype=np.int64, count=arr.size)
+    lens = e["term_lens"]  # Arrow-vectorized, cached per (segment, field)
     lv = len(q.value)
     cand = np.flatnonzero(np.abs(lens - lv) <= q.distance)
     hit_parts = []
     chunk = 1 << 16
     for s in range(0, cand.size, chunk):
         c = cand[s:s + chunk]
-        mask = _fuzzy_batch_within(q.value, arr[c], q.distance, q.transposition)
+        mask = _fuzzy_batch_within(q.value, arr[c], q.distance,
+                                   q.transposition, lens=lens[c])
         hit_parts.append(c[mask])
     hits = (np.concatenate(hit_parts) if hit_parts
             else np.zeros(0, dtype=np.int64))

@@ -128,17 +128,24 @@ class SearchService:
         """Global top-k in two fan-outs: (1) partial df per actor -> summed
         searcher-level df; (2) per-actor top-k with the global stats;
         merged by (score desc, global docid asc)."""
-        from rayfts.query.ast import collect_scored_terms
+        from rayfts.query.ast import collect_scored_terms, routing_terms
 
         resolved = self._resolver._resolve(query)
         pairs = collect_scored_terms(resolved)
+        parts_df = ray.get([a.partial_df.remote(pairs) for a in self.actors])
         df: dict = {}
-        for part in ray.get([a.partial_df.remote(pairs) for a in self.actors]):
+        for part in parts_df:
             for k, v in part.items():
                 df[k] = df.get(k, 0) + v
-        parts = ray.get([a.top_k.remote(resolved, limit, df) for a in self.actors])
+        # term-dictionary routing: skip shards that provably cannot match
+        need = routing_terms(resolved)
+        live = [ai for ai in range(len(self.actors))
+                if need is None
+                or any(parts_df[ai].get(p, 0) > 0 for p in need)]
+        parts = ray.get([self.actors[ai].top_k.remote(resolved, limit, df)
+                         for ai in live])
         merged = sorted(
-            ((-s, g, ai) for ai, part in enumerate(parts) for s, g in part)
+            ((-s, g, ai) for ai, part in zip(live, parts) for s, g in part)
         )[:limit]
         hits = [(-negs, g) for negs, g, _ai in merged]
         if not fetch:
@@ -155,21 +162,44 @@ class SearchService:
         """Batched global top-k: TWO fan-outs total for the whole batch
         (one partial-df for the union of all scored terms, one batched
         top-k) instead of two per query — the latency shape for the
-        100 TB mode where the index is sharded across the actor pool."""
-        from rayfts.query.ast import collect_scored_terms
+        100 TB mode where the index is sharded across the actor pool.
+
+        Each query is ROUTED: it is evaluated only on actors whose term
+        dictionaries contain at least one of its necessary terms
+        (:func:`rayfts.query.ast.routing_terms`, decided from the
+        partial-df results the df fan-out already fetched). Without
+        routing, N shards evaluate every query against 1/N of the index
+        and per-query cost is sub-linear in index size (block-max WAND),
+        so sharded fan-out used to LOSE to one merged searcher; routing
+        restores the win for the common mid/rare-term traffic."""
+        from rayfts.query.ast import collect_scored_terms, routing_terms
 
         resolved = [self._resolver._resolve(q) for q in queries]
         pairs = sorted({p for r in resolved for p in collect_scored_terms(r)})
+        parts_df = ray.get([a.partial_df.remote(pairs) for a in self.actors])
         df: dict = {}
-        for part in ray.get([a.partial_df.remote(pairs) for a in self.actors]):
+        for part in parts_df:
             for k, v in part.items():
                 df[k] = df.get(k, 0) + v
-        parts = ray.get([a.top_k_many.remote(resolved, limit, df) for a in self.actors])
+        routes: list[list[int]] = [[] for _ in self.actors]
+        for qi, r in enumerate(resolved):
+            need = routing_terms(r)
+            for ai, part in enumerate(parts_df):
+                if need is None or any(part.get(p, 0) > 0 for p in need):
+                    routes[ai].append(qi)
+        live = [ai for ai, idx in enumerate(routes) if idx]
+        parts = ray.get([
+            self.actors[ai].top_k_many.remote(
+                [resolved[i] for i in routes[ai]], limit, df)
+            for ai in live
+        ])
+        per_query: list[list[tuple[float, int]]] = [[] for _ in queries]
+        for ai, part in zip(live, parts):
+            for qi, hits in zip(routes[ai], part):
+                per_query[qi].extend(hits)
         out = []
-        for qi in range(len(queries)):
-            merged = sorted(
-                (-s, g) for part in parts for s, g in part[qi]
-            )[:limit]
+        for hits in per_query:
+            merged = sorted((-s, g) for s, g in hits)[:limit]
             out.append([(-ns, g) for ns, g in merged])
         return out
 

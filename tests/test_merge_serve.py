@@ -403,3 +403,58 @@ def test_merge_invariance_over_fuzz_ingest(ray_session, tmp_path):
         assert results() == before
 
     check()
+
+
+def test_routing_terms_shapes():
+    """Necessary-term routing sets: sound shapes route, unprovable
+    shapes return None (send-everywhere)."""
+    from rayfts.query.ast import (All, Bool, Fuzzy, Phrase, Range, Regex,
+                                  Term, routing_terms)
+
+    t = Term("text", "alpha")
+    assert routing_terms(t) == [("text", "alpha")]
+    assert routing_terms(Phrase("text", ["a", "b"])) == [("text", "a")]
+    # must transfers any routable clause; must_not never widens
+    assert routing_terms(Bool(must=[Range("n", gte=1), t],
+                              must_not=[Term("text", "x")])) == \
+        [("text", "alpha")]
+    # pure should = union of all clauses
+    assert sorted(routing_terms(Bool(should=[t, Term("text", "beta")]))) == \
+        [("text", "alpha"), ("text", "beta")]
+    # any unroutable should clause poisons the union
+    assert routing_terms(Bool(should=[t, Regex("text", "a.*")])) is None
+    for q in (All(), Fuzzy("text", "abc"), Range("n", gte=1),
+              Bool(must=[Range("n", gte=1)])):
+        assert routing_terms(q) is None
+
+
+def test_search_many_routing_skips_dead_shards(built, ray_session):
+    """A term that lives in a single segment must be answered correctly
+    while only that shard evaluates it (parity already covered above;
+    here we assert the routing decision itself)."""
+    from rayfts.query.ast import routing_terms
+    from rayfts.query.serve import SearchService
+
+    svc = SearchService(built, num_actors=3)
+    local = Searcher(built)
+    try:
+        # find a term that exists in the corpus but not in every shard
+        pairs = [("text", w) for w in
+                 ["the", "merge", "segment", "zzz_not_there"]]
+        parts = [a for a in svc.actors]
+        import ray as _ray
+
+        dfs = _ray.get([a.partial_df.remote(pairs) for a in parts])
+        for q in ["merge", "zzz_not_there"]:
+            need = routing_terms(svc._resolver._resolve(q))
+            assert need is not None
+            live = [ai for ai, d in enumerate(dfs)
+                    if any(d.get(p, 0) > 0 for p in need)]
+            got = svc.search_many([q], limit=10)[0]
+            want = [(round(h.score, 12), h.doc_id)
+                    for h in local.top_k(q, 10)]
+            assert [(round(s, 12), g) for s, g in got] == want, q
+            if q == "zzz_not_there":
+                assert live == [] and got == []
+    finally:
+        svc.shutdown()
