@@ -911,6 +911,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["topk_per_group_events"] = topk_group_q
 
+    def decontam_q(sf):
+        """Benchmark decontamination (8-gram overlap vs a held-out set,
+        the GPT-3/Llama/Dolma convention): the 'benchmark' is every
+        97th document of the corpus itself, so contamination genuinely
+        occurs; per-doc overlap counts are hash-compared against a
+        DuckDB oracle reproducing the md5/rolling-hash shingle space."""
+        from rayfts.ops.decontam import decontaminate_stats
+
+        def pick_bench(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(ids % 97 == 0))
+
+        ds = _docs_ds(sf)
+        bench = ds.map_batches(pick_bench, batch_format="pyarrow")
+        return decontaminate_stats(ds, bench, k=8).sort("doc_id")
+
+    q["decontaminate_8gram"] = decontam_q
+
     def multimodal_q(sf):
         """REAL image decode (stdlib zlib PNG codec when PIL is absent,
         rayfts/ops/media_codec.py): the fixture pixels are a closed form
@@ -989,7 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-checked before round 4 (all cheap)
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
-        "topk_per_group_events", "multimodal_decode",
+        "topk_per_group_events", "decontaminate_8gram", "multimodal_decode",
         "multimodal_resize_features", "multimodal_audio_decode",
         "video_frame_sample",
         # cheap, green in round 3
@@ -1239,6 +1257,58 @@ def _batch_search_sql(limit: int = 5) -> str:
     )
 
 
+
+
+def _roll_window_sql(width: int, idx: str) -> str:
+    """Mod-2^64 polynomial hash of ``hs[idx .. idx+width-1]`` in DuckDB
+    HUGEINT (split multiplies), matching rayfts.ops.dedup._poly_powers."""
+    from rayfts.ops.dedup import _POLY_BASE
+
+    M = 1 << 64
+    B = int(_POLY_BASE)
+    terms = []
+    for j in range(width):
+        p = pow(B, width - 1 - j, M)
+        ref = f"hs[{idx}+{j}]" if j else f"hs[{idx}]"
+        terms.append(_mulmod64_sql(ref, p) if p != 1
+                     else f"CAST({ref} AS HUGEINT)")
+    return "((" + " + ".join(terms) + f") % {M})"
+
+
+def _decontam_sql(k: int = 8) -> str:
+    """Decontamination oracle: same md5 token hashes + rolling k-gram
+    shingles as the engine (_ShingleStage; docs shorter than k hash as
+    one whole-doc window), benchmark = every 97th doc, per-doc count of
+    unique shingles present in the benchmark set."""
+    arms = "\n".join(
+        f"         WHEN len(hs) = {L} THEN [{_roll_window_sql(L, '1')}]"
+        for L in range(1, k))
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT
+     for x in regexp_extract_all(COALESCE(text, ''), '[\p{{L}}\p{{N}}]+')] AS hs
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+{arms}
+         ELSE [{_roll_window_sql(k, 'i')}
+               for i in generate_series(1, len(hs) - {k - 1})]
+    END AS sh
+  FROM t
+),
+uniqs AS (SELECT doc_id, list_distinct(sh) AS us FROM shingles),
+bench AS (SELECT DISTINCT unnest(us) AS s FROM uniqs WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(us) AS s FROM uniqs),
+ov AS (SELECT ex.doc_id, count(*) AS n_overlap
+       FROM ex JOIN bench USING (s) GROUP BY 1)
+SELECT u.doc_id, len(u.us) AS n_shingles,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM uniqs u LEFT JOIN ov ON ov.doc_id = u.doc_id ORDER BY u.doc_id
+"""
 
 
 def _ngram_jaccard_sql(threshold: float = 0.5,
@@ -1785,6 +1855,7 @@ WHERE rank <= 5 ORDER BY event_type, rank
     # PNG/WAV bytes; the engine decodes the bytes (stdlib zlib/wave
     # codec, rayfts/ops/media_codec.py) and these oracles recompute the
     # same sums symbolically — decode bugs cannot hash-match.
+    sql["decontaminate_8gram"] = _decontam_sql(k=8)
     sql["multimodal_decode"] = """
 WITH imgs AS (
   SELECT i, 16 + (i % 13) AS w, 16 + ((i * 7) % 11) AS h FROM range(0, 64) t(i)),

@@ -26,6 +26,11 @@ Distributed shape (two streaming passes + summary exchanges):
    the cap fall back to add-one smoothing over the capped V, and a
    kept bigram whose CONTEXT fell out of the vocab is dropped too
    (cb <= cu invariant). The cap sorts run only when a cap binds.
+   **Driver footprint is sized in bytes, not rows**: the defaults
+   (``max_vocab`` 2^20, ``max_bigrams`` 2^23) bound the pulled model
+   at ~16 MB + ~200 MB (3 int64 columns/row, ~2x transient during the
+   chunked numpy concat), streamed via ``iter_batches`` — no pandas
+   frame ever materializes on the driver.
 3. **Score pass**: stateless ``map_batches`` — re-tokenize, hash grams,
    two ``searchsorted`` probes, one vectorized log.
 
