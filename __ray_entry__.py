@@ -738,6 +738,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ngram_jaccard_pairs"] = ngram_jaccard_q
 
+    def near_dup_clusters_q(sf):
+        """Near-dup CLUSTERS: connected components (hash-to-min, log-round
+        MapReduce CC) over the exact n-gram Jaccard pair graph — the
+        production keep-one-per-cluster dedup step the pair emitters
+        feed. Oracle: recursive-CTE min-label closure over the same
+        pair SQL."""
+        from rayfts.ops.cc import near_dup_components
+
+        return near_dup_components(_docs_ds(sf), threshold=0.5).sort("node")
+
+    q["near_dup_clusters"] = near_dup_clusters_q
+
+    def near_dup_kept_q(sf):
+        """Cluster-level dedup survivors: every doc not in a near-dup
+        component plus each component's min-id representative."""
+        from rayfts.ops.cc import near_dup_kept_ids
+
+        return near_dup_kept_ids(_docs_ds(sf), threshold=0.5).sort("doc_id")
+
+    q["near_dup_kept"] = near_dup_kept_q
+
     def cosine_dup_q(sf, n_clusters: int):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
@@ -1007,7 +1028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-checked before round 4 (all cheap)
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
-        "topk_per_group_events", "decontaminate_8gram", "multimodal_decode",
+        "topk_per_group_events", "decontaminate_8gram",
+        "near_dup_clusters", "near_dup_kept", "multimodal_decode",
         "multimodal_resize_features", "multimodal_audio_decode",
         "video_frame_sample",
         # cheap, green in round 3
@@ -1364,6 +1386,36 @@ jac AS (
 SELECT id_a, id_b, round_even(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM jac WHERE CAST(inter AS DOUBLE) / uni >= {threshold} ORDER BY id_a, id_b
 """
+
+
+def _near_dup_cc_sql(kept: bool = False, threshold: float = 0.5) -> str:
+    """Connected components of the n-gram Jaccard pair graph via a
+    recursive min-label closure: seed every node with itself, propagate
+    a label across an edge only while it is smaller than the target
+    (the component minimum reaches every node along some path, and the
+    guard prunes the transitive closure to labels that can still win).
+    ``kept=True`` returns the cluster-dedup survivors instead."""
+    pairs = _ngram_jaccard_sql(threshold=threshold)
+    cc = rf"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({pairs})),
+edges AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+walk(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.lbl < e.v
+),
+cc AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+"""
+    if kept:
+        return cc + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+ORDER BY doc_id
+"""
+    return cc + "SELECT node, component FROM cc ORDER BY node\n"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1808,6 +1860,8 @@ SELECT user_id, min(t) AS session_start_us, count(*) AS n_events,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
 """
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
+    sql["near_dup_clusters"] = _near_dup_cc_sql(kept=False, threshold=0.5)
+    sql["near_dup_kept"] = _near_dup_cc_sql(kept=True, threshold=0.5)
     sql["batch_search"] = _batch_search_sql(limit=5)
     # the hot-safe two-phase plans must be bit-identical to the plain
     # plans, so they share the same oracles
