@@ -759,6 +759,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["near_dup_kept"] = near_dup_kept_q
 
+    def repetition_stats_q(sf):
+        """Gopher/MassiveText repetition quality signals as exact
+        integers (dup lines, dup line chars, top word-2-gram char
+        cover, dup word-5-grams) — stateless vectorized map_batches,
+        lexsort run-length counting, zero shuffles."""
+        from rayfts.ops.repetition import repetition_stats
+
+        return repetition_stats(_docs_ds(sf)).sort("doc_id")
+
+    q["repetition_stats"] = repetition_stats_q
+
+    def repetition_filter_q(sf):
+        """Documents surviving the published Gopher repetition
+        thresholds (0.30 dup-line, 0.20 dup-line-char, 0.20 top-2-gram
+        cover, 0.15 dup-5-gram)."""
+        from rayfts.ops.repetition import repetition_filter
+
+        return (repetition_filter(_docs_ds(sf))
+                .select_columns(["doc_id"]).sort("doc_id"))
+
+    q["repetition_filter_kept"] = repetition_filter_q
+
     def cosine_dup_q(sf, n_clusters: int):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
@@ -1029,7 +1051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
         "topk_per_group_events", "decontaminate_8gram",
-        "near_dup_clusters", "near_dup_kept", "multimodal_decode",
+        "near_dup_clusters", "near_dup_kept", "repetition_stats",
+        "repetition_filter_kept", "multimodal_decode",
         "multimodal_resize_features", "multimodal_audio_decode",
         "video_frame_sample",
         # cheap, green in round 3
@@ -1385,6 +1408,61 @@ jac AS (
 )
 SELECT id_a, id_b, round_even(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM jac WHERE CAST(inter AS DOUBLE) / uni >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+def _repetition_sql() -> str:
+    """Gopher repetition-signal oracle: identical line/word/n-gram
+    conventions as rayfts.ops.repetition (ASCII-whitespace line strip,
+    [\\p{L}\\p{N}]+ lowercased words, max-of-products 2-gram cover,
+    duplicate-beyond-first counting)."""
+    strip = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    return rf"""
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+lx AS (SELECT doc_id, trim(x, {strip}) AS line
+       FROM t, unnest(string_split(text, chr(10))) AS u(x)),
+lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS L
+       FROM lx WHERE line <> '' GROUP BY 1, 2),
+lagg AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup_lines,
+                sum(c * L) AS n_line_chars,
+                sum((c - 1) * L) AS n_dup_line_chars
+         FROM lc GROUP BY 1),
+w AS (SELECT doc_id,
+        [lower(x) for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS ws
+      FROM t),
+wagg AS (SELECT doc_id, len(ws) AS n_words,
+                COALESCE(list_sum([length(x) for x in ws]), 0) AS n_word_chars
+         FROM w),
+g2 AS (SELECT doc_id,
+        unnest([ws[i] || chr(1) || ws[i + 1]
+                for i in generate_series(1, len(ws) - 1)]) AS g
+       FROM w),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+g2t AS (SELECT doc_id, max(c) AS top_2gram_count,
+               max(c * (length(g) - 1)) AS top_2gram_char_cover
+        FROM g2c GROUP BY 1),
+g5 AS (SELECT doc_id,
+        unnest([ws[i] || chr(1) || ws[i + 1] || chr(1) || ws[i + 2]
+                  || chr(1) || ws[i + 3] || chr(1) || ws[i + 4]
+                for i in generate_series(1, len(ws) - 4)]) AS g
+       FROM w),
+g5a AS (SELECT doc_id, count(*) AS n_5grams,
+               count(*) - count(DISTINCT g) AS n_dup_5grams
+        FROM g5 GROUP BY 1)
+SELECT t.doc_id,
+  CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(COALESCE(n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+  CAST(COALESCE(n_line_chars, 0) AS BIGINT) AS n_line_chars,
+  CAST(COALESCE(n_dup_line_chars, 0) AS BIGINT) AS n_dup_line_chars,
+  CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(n_word_chars, 0) AS BIGINT) AS n_word_chars,
+  CAST(COALESCE(top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+  CAST(COALESCE(top_2gram_char_cover, 0) AS BIGINT) AS top_2gram_char_cover,
+  CAST(COALESCE(n_5grams, 0) AS BIGINT) AS n_5grams,
+  CAST(COALESCE(n_dup_5grams, 0) AS BIGINT) AS n_dup_5grams
+FROM t LEFT JOIN lagg USING (doc_id) LEFT JOIN wagg USING (doc_id)
+LEFT JOIN g2t USING (doc_id) LEFT JOIN g5a USING (doc_id)
+ORDER BY t.doc_id
 """
 
 
@@ -1862,6 +1940,15 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["near_dup_clusters"] = _near_dup_cc_sql(kept=False, threshold=0.5)
     sql["near_dup_kept"] = _near_dup_cc_sql(kept=True, threshold=0.5)
+    sql["repetition_stats"] = _repetition_sql()
+    sql["repetition_filter_kept"] = f"""
+SELECT doc_id FROM ({_repetition_sql()})
+WHERE NOT (n_dup_lines > 0.30 * n_lines
+           OR n_dup_line_chars > 0.20 * n_line_chars
+           OR top_2gram_char_cover > 0.20 * n_word_chars
+           OR n_dup_5grams > 0.15 * n_5grams)
+ORDER BY doc_id
+"""
     sql["batch_search"] = _batch_search_sql(limit=5)
     # the hot-safe two-phase plans must be bit-identical to the plain
     # plans, so they share the same oracles
