@@ -781,6 +781,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["repetition_filter_kept"] = repetition_filter_q
 
+    def _line_salted_docs(sf):
+        """The synthetic corpus has no cross-doc duplicate lines, so
+        both sides deterministically append boilerplate lines to every
+        3rd doc (a 7-bucket 'sponsored banner', a whitespace-padded
+        'footer text' exercising strip-matching, and a per-doc unique
+        tag that must survive) — the dedup path is genuinely
+        exercised and rewritten STRINGS are hash-compared."""
+        import pandas as pd2
+
+        def salt(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            t = pd2.Series(b["text"].to_pylist(), dtype="object").fillna("")
+            s = pd2.Series(ids).astype(str)
+            suffix = ("\nsponsored banner " + pd2.Series(ids % 7).astype(str)
+                      + "\n  footer text\t\nunique tag " + s)
+            salted = t.where(ids % 3 != 0, t + suffix.to_numpy())
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": pa.array(salted.tolist(),
+                                              type=pa.string())})
+
+        return (_docs_ds(sf).select_columns(["doc_id", "text"])
+                .map_batches(salt, batch_format="pyarrow"))
+
+    def duplicate_lines_q(sf):
+        """Corpus-wide duplicated-line table (RefinedWeb line dedup,
+        pass 1): stripped lines in >=2 distinct docs with exact
+        occurrence / distinct-doc counts — pre-aggregated per-batch
+        partials, uniform hash-partitioned Arrow group_by reduce."""
+        from rayfts.ops.linededup import duplicate_lines
+
+        return duplicate_lines(_line_salted_docs(sf), min_docs=2).sort("line")
+
+    q["duplicate_lines"] = duplicate_lines_q
+
+    def line_dedup_q(sf):
+        """Rewritten corpus with cross-doc duplicate lines removed
+        (pass 2): byte-budgeted chunked broadcast of the duplicate set,
+        vectorized is_in + list rebuild, no corpus shuffle."""
+        from rayfts.ops.linededup import line_dedup
+
+        return (line_dedup(_line_salted_docs(sf), min_docs=2)
+                .select_columns(["doc_id", "text", "n_removed_lines"])
+                .sort("doc_id"))
+
+    q["line_dedup"] = line_dedup_q
+
     def cosine_dup_q(sf, n_clusters: int):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
@@ -1052,7 +1098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_hot_safe", "range_join_signup_purchase",
         "topk_per_group_events", "decontaminate_8gram",
         "near_dup_clusters", "near_dup_kept", "repetition_stats",
-        "repetition_filter_kept", "multimodal_decode",
+        "repetition_filter_kept", "duplicate_lines", "line_dedup",
+        "multimodal_decode",
         "multimodal_resize_features", "multimodal_audio_decode",
         "video_frame_sample",
         # cheap, green in round 3
@@ -1462,6 +1509,56 @@ SELECT t.doc_id,
   CAST(COALESCE(n_dup_5grams, 0) AS BIGINT) AS n_dup_5grams
 FROM t LEFT JOIN lagg USING (doc_id) LEFT JOIN wagg USING (doc_id)
 LEFT JOIN g2t USING (doc_id) LEFT JOIN g5a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def _line_ls_sql() -> str:
+    """Shared CTE body: per-doc lines with ordinal, raw and stripped,
+    over the same deterministically line-salted corpus the Ray side
+    builds (see _line_salted_docs in queries())."""
+    strip = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    return f"""
+WITH t AS (SELECT doc_id,
+    COALESCE(text, '') || CASE WHEN doc_id % 3 = 0 THEN
+      chr(10) || 'sponsored banner ' || (doc_id % 7) ||
+      chr(10) || '  footer text' || chr(9) ||
+      chr(10) || 'unique tag ' || doc_id
+    ELSE '' END AS text FROM documents),
+ls0 AS (SELECT doc_id, string_split(text, chr(10)) AS rls FROM t),
+lx AS (SELECT doc_id, unnest(rls) AS raw,
+              unnest(generate_series(1, len(rls))) AS i FROM ls0),
+ls AS (SELECT doc_id, i, raw, trim(raw, {strip}) AS s FROM lx)"""
+
+
+def _duplicate_lines_sql(min_docs: int = 2) -> str:
+    """Oracle for rayfts.ops.linededup.duplicate_lines: same line/strip
+    conventions; occ = total occurrences, ndocs = distinct documents."""
+    return f"""{_line_ls_sql()}
+SELECT s AS line, CAST(count(*) AS BIGINT) AS occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+FROM ls WHERE s <> '' GROUP BY s
+HAVING count(DISTINCT doc_id) >= {min_docs}
+ORDER BY line
+"""
+
+
+def _line_dedup_sql(min_docs: int = 2) -> str:
+    """Oracle for rayfts.ops.linededup.line_dedup: drop raw lines whose
+    stripped form is cross-doc duplicated; survivors re-joined with \\n
+    in original order; empty-after-strip lines always kept."""
+    return f"""{_line_ls_sql()},
+q AS (SELECT s FROM ls WHERE s <> '' GROUP BY s
+      HAVING count(DISTINCT doc_id) >= {min_docs}),
+kept AS (SELECT doc_id, i, raw FROM ls
+         WHERE s = '' OR s NOT IN (SELECT s FROM q)),
+reb AS (SELECT doc_id, string_agg(raw, chr(10) ORDER BY i) AS text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ls GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(reb.text, '') AS text,
+       CAST(tot.n_lines - COALESCE(reb.n_kept, 0) AS BIGINT)
+           AS n_removed_lines
+FROM t JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
 ORDER BY t.doc_id
 """
 
@@ -1940,6 +2037,8 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["near_dup_clusters"] = _near_dup_cc_sql(kept=False, threshold=0.5)
     sql["near_dup_kept"] = _near_dup_cc_sql(kept=True, threshold=0.5)
+    sql["duplicate_lines"] = _duplicate_lines_sql(min_docs=2)
+    sql["line_dedup"] = _line_dedup_sql(min_docs=2)
     sql["repetition_stats"] = _repetition_sql()
     sql["repetition_filter_kept"] = f"""
 SELECT doc_id FROM ({_repetition_sql()})
