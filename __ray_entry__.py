@@ -827,6 +827,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["line_dedup"] = line_dedup_q
 
+    def chunk_documents_q(sf):
+        """Sliding-window codepoint chunking (200-char windows, 50
+        overlap): stateless vectorized flat-map, one slice kernel per
+        chunk ordinal, zero shuffles."""
+        from rayfts.ops.chunk import chunk_documents
+
+        return chunk_documents(_docs_ds(sf), chunk_chars=200,
+                               overlap=50).sort(["doc_id", "chunk_id"])
+
+    q["chunk_documents"] = chunk_documents_q
+
     def cosine_dup_q(sf, n_clusters: int):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
@@ -1099,7 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group_events", "decontaminate_8gram",
         "near_dup_clusters", "near_dup_kept", "repetition_stats",
         "repetition_filter_kept", "duplicate_lines", "line_dedup",
-        "multimodal_decode",
+        "chunk_documents", "multimodal_decode",
         "multimodal_resize_features", "multimodal_audio_decode",
         "video_frame_sample",
         # cheap, green in round 3
@@ -2037,6 +2048,22 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["near_dup_clusters"] = _near_dup_cc_sql(kept=False, threshold=0.5)
     sql["near_dup_kept"] = _near_dup_cc_sql(kept=True, threshold=0.5)
+    # chunking: codepoint windows [i*stride, i*stride+chunk) with
+    # n_chunks = max(1, ceil((L-overlap)/stride)), 0 for empty docs
+    sql["chunk_documents"] = """
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS text,
+                  length(COALESCE(text, '')) AS L FROM documents),
+n AS (SELECT doc_id, text,
+        CASE WHEN L = 0 THEN 0
+             ELSE greatest(1, CAST(ceil((L - 50) / 150.0) AS BIGINT))
+        END AS nc FROM t),
+c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_id,
+             text FROM n WHERE nc > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 150 AS BIGINT) AS chunk_start,
+       substr(text, CAST(chunk_id * 150 + 1 AS BIGINT), 200) AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
     sql["duplicate_lines"] = _duplicate_lines_sql(min_docs=2)
     sql["line_dedup"] = _line_dedup_sql(min_docs=2)
     sql["repetition_stats"] = _repetition_sql()
