@@ -838,6 +838,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["chunk_documents"] = chunk_documents_q
 
+    def dsir_weights_q(sf):
+        """DSIR hashed-ngram log importance weights (target = lang='en'
+        docs, raw = full corpus): two streamed O(B)-driver fit passes,
+        one broadcast delta table, stateless vectorized scoring."""
+        from rayfts.ops.dsir import dsir_log_weights
+
+        docs = _docs_ds(sf)
+        target = docs.filter(expr="lang == 'en'")
+        return dsir_log_weights(docs, target,
+                                num_buckets=10_000).sort("doc_id")
+
+    q["dsir_log_weights"] = dsir_weights_q
+
+    def dsir_select_q(sf):
+        """Top-100 most-target-like raw docs by DSIR weight
+        (deterministic rank, ties by doc_id)."""
+        from rayfts.ops.dsir import dsir_select
+
+        docs = _docs_ds(sf)
+        target = docs.filter(expr="lang == 'en'")
+        return (dsir_select(docs, target, n_select=100,
+                            num_buckets=10_000)
+                .select_columns(["doc_id", "logw"]))
+
+    q["dsir_select_top100"] = dsir_select_q
+
     def cosine_dup_q(sf, n_clusters: int):
         from rayfts.ops.ann import cosine_near_dup_pairs
 
@@ -1110,7 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group_events", "decontaminate_8gram",
         "near_dup_clusters", "near_dup_kept", "repetition_stats",
         "repetition_filter_kept", "duplicate_lines", "line_dedup",
-        "chunk_documents", "multimodal_decode",
+        "chunk_documents", "dsir_log_weights", "dsir_select_top100",
+        "multimodal_decode",
         "multimodal_resize_features", "multimodal_audio_decode",
         "video_frame_sample",
         # cheap, green in round 3
@@ -1522,6 +1549,48 @@ FROM t LEFT JOIN lagg USING (doc_id) LEFT JOIN wagg USING (doc_id)
 LEFT JOIN g2t USING (doc_id) LEFT JOIN g5a USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+def _dsir_sql(select_top: int | None, num_buckets: int = 10_000) -> str:
+    """DSIR oracle: md5 token hashes, k=2 rolling bigram hash mod 2^64
+    (split-multiply), bucket = hash % B, add-one-smoothed log ratio —
+    identical conventions to rayfts.ops.dsir; half-even 6dp rounding."""
+    from rayfts.ops.textstats import _FP_BASE
+
+    roll2 = (f"(({_mulmod64_sql('hs[i]', int(_FP_BASE))} + hs[i + 1]) "
+             f"% 18446744073709551616)")
+    base = rf"""
+WITH t0 AS (
+  SELECT doc_id, lang,
+    [('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT
+     for x in regexp_extract_all(COALESCE(text, ''), '[\p{{L}}\p{{N}}]+')]
+    AS hs
+  FROM documents),
+uni AS (SELECT doc_id, lang, unnest(hs) AS g FROM t0),
+big AS (SELECT doc_id, lang,
+        unnest([{roll2} for i in generate_series(1, len(hs) - 1)]) AS g
+        FROM t0),
+allg AS (SELECT doc_id, lang, CAST(g % {num_buckets} AS BIGINT) AS b
+         FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+tc AS (SELECT b, count(*) AS c FROM allg WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, count(*) AS c FROM allg GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM allg WHERE lang = 'en') AS T,
+               (SELECT count(*) FROM allg) AS R),
+sc AS (SELECT doc_id, count(*) AS n_grams,
+         sum(ln(COALESCE(tc.c, 0) + 1.0) - ln(rc.c + 1.0)) AS s
+       FROM allg LEFT JOIN tc USING (b) JOIN rc USING (b)
+       GROUP BY doc_id),
+w AS (SELECT d.doc_id,
+        CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+        round_even(COALESCE(sc.s, 0.0) + COALESCE(sc.n_grams, 0)
+          * (ln(tot.R + {num_buckets}.0) - ln(tot.T + {num_buckets}.0)),
+          6) AS logw
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      CROSS JOIN tot)"""
+    if select_top is None:
+        return base + "\nSELECT doc_id, n_grams, logw FROM w ORDER BY doc_id\n"
+    return base + (f"\nSELECT doc_id, logw FROM w "
+                   f"ORDER BY logw DESC, doc_id LIMIT {select_top}\n")
 
 
 def _line_ls_sql() -> str:
@@ -2048,6 +2117,8 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
     sql["ngram_jaccard_pairs"] = _ngram_jaccard_sql(threshold=0.5)
     sql["near_dup_clusters"] = _near_dup_cc_sql(kept=False, threshold=0.5)
     sql["near_dup_kept"] = _near_dup_cc_sql(kept=True, threshold=0.5)
+    sql["dsir_log_weights"] = _dsir_sql(select_top=None)
+    sql["dsir_select_top100"] = _dsir_sql(select_top=100)
     # chunking: codepoint windows [i*stride, i*stride+chunk) with
     # n_chunks = max(1, ceil((L-overlap)/stride)), 0 for empty docs
     sql["chunk_documents"] = """
