@@ -353,6 +353,41 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     bigram_lm_scores(ray.data.read_parquet(docs)).count()
     out["lm_scores"] = time.time() - t0
+
+    from rayfts.ops.repetition import repetition_filter
+
+    t0 = time.time()
+    repetition_filter(ray.data.read_parquet(docs)).count()
+    out["repetition_filter"] = time.time() - t0
+
+    from rayfts.ops.linededup import line_dedup
+
+    t0 = time.time()
+    line_dedup(ray.data.read_parquet(docs)).count()
+    out["line_dedup"] = time.time() - t0
+
+    from rayfts.ops.chunk import chunk_documents
+
+    t0 = time.time()
+    chunk_documents(ray.data.read_parquet(docs), chunk_chars=200,
+                    overlap=50).count()
+    out["chunk_documents"] = time.time() - t0
+
+    from rayfts.ops.dsir import dsir_log_weights
+
+    t0 = time.time()
+    raw = ray.data.read_parquet(docs)
+    dsir_log_weights(raw, raw.filter(expr="lang == 'en'"),
+                     num_buckets=10_000).count()
+    out["dsir_log_weights"] = time.time() - t0
+
+    from rayfts.ops.decontam import decontaminate_stats
+
+    t0 = time.time()
+    bench_set = ray.data.read_parquet(docs).limit(200)
+    decontaminate_stats(ray.data.read_parquet(docs), bench_set,
+                        k=8).count()
+    out["decontaminate"] = time.time() - t0
     return out
 
 
