@@ -49,6 +49,31 @@ class _LazyTermEntry(dict):
                 self["terms_pa"]).to_numpy(zero_copy_only=False).astype(np.int64)
             self[key] = v
             return v
+        if key == "term_sigs":  # 64-bit character-SET signatures
+            # One edit changes at most one distinct character on each
+            # side, so |chars(q)\chars(t)| <= d is NECESSARY for
+            # distance <= d; hash collisions only merge bits, which
+            # UNDERCOUNTS the difference — the fuzzy prefilter built on
+            # these never drops a true match. Computed chunked so the
+            # transient (chunk, lmax) codepoint matrix stays small.
+            terms = self["terms"]
+            n = terms.size
+            sigs = np.zeros(n, dtype=np.uint64)
+            lens = self["term_lens"]
+            step = 1 << 16
+            for s in range(0, n, step):
+                part = terms[s:s + step]
+                lmax = int(lens[s:s + step].max(initial=0))
+                if lmax == 0:
+                    continue
+                U = np.asarray(part, dtype=f"<U{lmax}").view(
+                    np.uint32).reshape(len(part), lmax)
+                bits = ((U.astype(np.uint64) *
+                         np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58))
+                lanes = np.where(U != 0, np.uint64(1) << bits, np.uint64(0))
+                sigs[s:s + step] = np.bitwise_or.reduce(lanes, axis=1)
+            self[key] = sigs
+            return sigs
         raise KeyError(key)
 
 import numpy as np

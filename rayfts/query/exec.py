@@ -284,6 +284,11 @@ def _levenshtein_within(a: str, b: str, limit: int, transposition: bool) -> bool
     return prev_row[lb] <= limit
 
 
+# byte-popcount table for the uint64 signature prefilter below
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(1).astype(np.int64)
+
+
 def _fuzzy_batch_within(query: str, terms: np.ndarray, limit: int,
                         transposition: bool,
                         lens: np.ndarray | None = None) -> np.ndarray:
@@ -362,6 +367,30 @@ def _exec_fuzzy(q: Fuzzy, seg: SegmentReader, stats: GlobalStats) -> Matches:
     lens = e["term_lens"]  # Arrow-vectorized, cached per (segment, field)
     lv = len(q.value)
     cand = np.flatnonzero(np.abs(lens - lv) <= q.distance)
+    if cand.size:
+        # character-set signature prefilter (see _LazyTermEntry
+        # "term_sigs"): a term within distance d differs from the query
+        # in at most d DISTINCT characters per side. Transpositions
+        # permute the multiset, so the bound holds for Damerau too.
+        # Collisions only undercount — no true match is ever dropped.
+        sigs = e["term_sigs"][cand]
+        qcp = np.frombuffer(q.value.encode("utf-32-le"), dtype=np.uint32)
+        qbits = ((qcp.astype(np.uint64) *
+                  np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58))
+        qsig = np.uint64(np.bitwise_or.reduce(np.uint64(1) << qbits)
+                         if qbits.size else 0)
+        miss_q = _POP8[(qsig & ~sigs).view(np.uint8).reshape(-1, 8)].sum(1)
+        miss_t = _POP8[(sigs & ~qsig).view(np.uint8).reshape(-1, 8)].sum(1)
+        cand = cand[(miss_q <= q.distance) & (miss_t <= q.distance)]
+    if cand.size <= 64:
+        # the signature prefilter typically leaves a handful of
+        # survivors per segment; a scalar DP over short strings beats
+        # the fixed cost of the vectorized band machinery there
+        hits = np.asarray(
+            [o for o in cand
+             if _levenshtein_within(q.value, arr[o], q.distance,
+                                    q.transposition)], dtype=np.int64)
+        return _union_ordinals(seg, q.field, hits)
     hit_parts = []
     chunk = 1 << 16
     for s in range(0, cand.size, chunk):
