@@ -480,6 +480,107 @@ def cmd_postings_export(args) -> int:
     return 0
 
 
+def _read_inputs(patterns):
+    import glob as _glob
+
+    import ray.data
+
+    paths = sorted(p for pat in patterns for p in _glob.glob(pat)) or list(patterns)
+    return ray.data.read_parquet(paths)
+
+
+def cmd_decontaminate(args) -> int:
+    """Drop corpus docs sharing a token k-gram with the benchmark set."""
+    _ensure_ray()
+    from rayfts.ops.decontam import decontaminate
+
+    out = decontaminate(_read_inputs(args.input), _read_inputs(args.bench),
+                        col=args.col, id_col=args.id_col, k=args.k)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_repetition(args) -> int:
+    """Gopher repetition signals (--stats-only) or the composed filter."""
+    _ensure_ray()
+    from rayfts.ops.repetition import repetition_filter, repetition_stats
+
+    ds = _read_inputs(args.input)
+    if args.stats_only:
+        out = repetition_stats(ds, col=args.col, id_col=args.id_col)
+    else:
+        out = repetition_filter(
+            ds, col=args.col, id_col=args.id_col,
+            max_dup_line_frac=args.max_dup_line_frac,
+            max_dup_line_char_frac=args.max_dup_line_char_frac,
+            max_top_2gram_char_frac=args.max_top_2gram_char_frac,
+            max_dup_5gram_frac=args.max_dup_5gram_frac)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_line_dedup(args) -> int:
+    """Remove lines duplicated across >= --min-docs documents."""
+    _ensure_ray()
+    from rayfts.ops.linededup import line_dedup
+
+    out = line_dedup(_read_inputs(args.input), col=args.col,
+                     id_col=args.id_col, min_docs=args.min_docs)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    """Sliding-window codepoint chunking -> (id, chunk_id, start, text)."""
+    _ensure_ray()
+    from rayfts.ops.chunk import chunk_documents
+
+    out = chunk_documents(_read_inputs(args.input), col=args.col,
+                          id_col=args.id_col, chunk_chars=args.chunk_chars,
+                          overlap=args.overlap)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    """DSIR hashed-ngram importance weights (or top-N selection)."""
+    _ensure_ray()
+    from rayfts.ops.dsir import dsir_log_weights, dsir_select
+
+    raw = _read_inputs(args.input)
+    target = _read_inputs(args.target)
+    if args.select:
+        out = dsir_select(raw, target, args.select, col=args.col,
+                          id_col=args.id_col, num_buckets=args.num_buckets)
+    else:
+        out = dsir_log_weights(raw, target, col=args.col, id_col=args.id_col,
+                               num_buckets=args.num_buckets)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_near_dup_clusters(args) -> int:
+    """Near-dup connected components (or the kept-id set with --kept)."""
+    _ensure_ray()
+    from rayfts.ops.cc import near_dup_components, near_dup_kept_ids
+
+    ds = _read_inputs(args.input)
+    kw = dict(col=args.col, id_col=args.id_col, k=args.k,
+              threshold=args.threshold)
+    if args.kept:
+        out = near_dup_kept_ids(ds, **kw)
+    else:
+        out = near_dup_components(ds, method=args.method, **kw)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_info(args) -> int:
     from rayfts.index.manifest import build_metrics_summary, read_manifest
 
@@ -712,6 +813,80 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--resume", action="store_true",
                     help="skip buckets whose (atomic) files already exist")
     pe.set_defaults(fn=cmd_postings_export)
+
+    dc = sub.add_parser("decontaminate",
+                        help="drop docs sharing a token k-gram with a "
+                             "benchmark set")
+    dc.add_argument("--input", nargs="+", required=True)
+    dc.add_argument("--bench", nargs="+", required=True,
+                    help="benchmark/held-out parquet (small by definition)")
+    dc.add_argument("--col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--k", type=int, default=8)
+    dc.add_argument("--out", required=True)
+    dc.set_defaults(fn=cmd_decontaminate)
+
+    rp = sub.add_parser("repetition",
+                        help="Gopher repetition signals / filter")
+    rp.add_argument("--input", nargs="+", required=True)
+    rp.add_argument("--col", default="text")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--stats-only", action="store_true",
+                    help="emit the integer signal table instead of filtering")
+    rp.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    rp.add_argument("--max-dup-line-char-frac", type=float, default=0.20)
+    rp.add_argument("--max-top-2gram-char-frac", type=float, default=0.20)
+    rp.add_argument("--max-dup-5gram-frac", type=float, default=0.15)
+    rp.add_argument("--out", required=True)
+    rp.set_defaults(fn=cmd_repetition)
+
+    ld = sub.add_parser("line-dedup",
+                        help="remove lines duplicated across documents")
+    ld.add_argument("--input", nargs="+", required=True)
+    ld.add_argument("--col", default="text")
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument("--min-docs", type=int, default=2)
+    ld.add_argument("--out", required=True)
+    ld.set_defaults(fn=cmd_line_dedup)
+
+    ck = sub.add_parser("chunk",
+                        help="sliding-window codepoint chunking")
+    ck.add_argument("--input", nargs="+", required=True)
+    ck.add_argument("--col", default="text")
+    ck.add_argument("--id-col", default="doc_id")
+    ck.add_argument("--chunk-chars", type=int, default=2048)
+    ck.add_argument("--overlap", type=int, default=256)
+    ck.add_argument("--out", required=True)
+    ck.set_defaults(fn=cmd_chunk)
+
+    dw = sub.add_parser("dsir",
+                        help="DSIR hashed-ngram importance weights / "
+                             "top-N selection")
+    dw.add_argument("--input", nargs="+", required=True,
+                    help="raw corpus parquet")
+    dw.add_argument("--target", nargs="+", required=True,
+                    help="target-domain parquet")
+    dw.add_argument("--col", default="text")
+    dw.add_argument("--id-col", default="doc_id")
+    dw.add_argument("--num-buckets", type=int, default=10_000)
+    dw.add_argument("--select", type=int, default=None,
+                    help="emit only the top-N ids by weight")
+    dw.add_argument("--out", required=True)
+    dw.set_defaults(fn=cmd_dsir)
+
+    nc = sub.add_parser("near-dup-clusters",
+                        help="connected-component near-dup clusters "
+                             "(or kept ids with --kept)")
+    nc.add_argument("--input", nargs="+", required=True)
+    nc.add_argument("--col", default="text")
+    nc.add_argument("--id-col", default="doc_id")
+    nc.add_argument("--k", type=int, default=3)
+    nc.add_argument("--threshold", type=float, default=0.5)
+    nc.add_argument("--method", default="ngram_jaccard",
+                    choices=["ngram_jaccard", "minhash"])
+    nc.add_argument("--kept", action="store_true")
+    nc.add_argument("--out", required=True)
+    nc.set_defaults(fn=cmd_near_dup_clusters)
 
     i = sub.add_parser("info", help="print manifest (segments, lineage, metrics)")
     i.add_argument("--index", required=True)
