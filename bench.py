@@ -623,8 +623,16 @@ def _record_scaling(out: dict) -> None:
         text = open(path).read()
     except OSError:
         return
+    tail = ""
     if marker in text:
-        text = text[: text.index(marker)].rstrip() + "\n"
+        # Replace ONLY this section: keep everything after the next
+        # "## " header (earlier versions truncated the rest of the file).
+        start = text.index(marker)
+        rest = text[start + len(marker):]
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt + 1:]
+        text = text[:start].rstrip() + "\n"
     lo, hi = out["levels"]
     text += (
         f"\n{marker}\n\n"
@@ -637,6 +645,8 @@ def _record_scaling(out: dict) -> None:
         f"Scaling efficiency (throughput_{hi}/throughput_{lo})/({hi}/{lo}) = "
         f"**{out['scaling_efficiency']}** (target >= 0.8).\n"
     )
+    if tail:
+        text += "\n" + tail
     with open(path, "w") as f:
         f.write(text)
 
