@@ -549,19 +549,27 @@ class SegmentReader:
             self._postings_cached_docs -= old.doc_freq
         return pl
 
-    def all_postings(self, field: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def all_postings(
+        self, field: str, ord_range: tuple[int, int] | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Bulk-decode EVERY posting list of a field in three vectorized
         passes (gather payload bytes, one varint decode per stream, cumsum
         with per-term rebase). Returns ``(docids, tfs, starts, ends)``
         where term ordinal i's postings are ``docids[starts[i]:ends[i]]``.
         This is the merge path's workhorse — per-term decode calls would
-        dominate a 10-source merge of a 10^5-term vocabulary."""
+        dominate a 10-source merge of a 10^5-term vocabulary.
+
+        ``ord_range=(lo, hi)`` restricts the decode to that term-ordinal
+        slice (the sharded merge path: one shard touches only its
+        contiguous byte range of the postings file); the returned
+        starts/ends are then relative to ordinal ``lo``."""
         from rayfts.codec.postings import HEADER_BYTES, SKIP_BYTES, BLOCK_SIZE
 
         e = self._terms(field)
-        offs = e["post_off"].astype(np.int64)
-        lens = e["post_len"].astype(np.int64)
-        dfs = e["df"].astype(np.int64)
+        sl = slice(*ord_range) if ord_range is not None else slice(None)
+        offs = e["post_off"][sl].astype(np.int64)
+        lens = e["post_len"][sl].astype(np.int64)
+        dfs = e["df"][sl].astype(np.int64)
         nterms = offs.size
         buf = self._postings_buf()
         if nterms == 0:

@@ -458,3 +458,66 @@ def test_search_many_routing_skips_dead_shards(built, ray_session):
                 assert live == [] and got == []
     finally:
         svc.shutdown()
+
+
+def test_sharded_merge_byte_identical(built, ray_session, tmp_path):
+    """Term-sharded parallel merge produces the EXACT same segment files
+    as the single-task merge (per-term encodings depend only on the term's
+    own postings, so shard-blob concatenation in term order is identity),
+    at any shard count — including more shards than terms would warrant."""
+    import hashlib
+    import os
+    import shutil
+
+    from rayfts.index.merge import merge_segment_group_sharded
+
+    man = mf.read_manifest(built)
+    ids = [s.segment_id for s in man.ordered_segments()]
+
+    def seg_digests(p):
+        seg = mf.segment_path(p, merged_segment_id(ids))
+        return {
+            f: hashlib.sha256(open(os.path.join(seg, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(seg))
+        }
+
+    p0 = str(tmp_path / "unsharded")
+    shutil.copytree(built, p0)
+    merge_segment_group(p0, man.schema.to_json(), ids)
+    base = seg_digests(p0)
+
+    for shards in (3, 16):
+        p = str(tmp_path / f"sharded{shards}")
+        shutil.copytree(built, p)
+        merge_segment_group_sharded(p, man.schema.to_json(), ids, shards)
+        assert seg_digests(p) == base, f"shards={shards} diverged"
+        # no shard scratch files left behind
+        seg = mf.segment_path(p, merged_segment_id(ids))
+        assert not [f for f in os.listdir(seg) if f.startswith("shard-")]
+
+
+def test_log_merge_uses_sharding_and_preserves_results(ray_session, tmp_path):
+    """End-to-end: a log-merge whose group is big enough to shard returns
+    identical query results (docids AND scores) to the unmerged index."""
+    import os
+
+    from rayfts.index.merge import _auto_shards, log_merge_index
+
+    path = str(tmp_path / "docs")
+    build_index(f"{SF}/documents.parquet", path, doc_schema(),
+                content_col="text", key_cols=["doc_id"], num_segments=8)
+    before = snapshot(path)
+    man = mf.read_manifest(path)
+    seg_by_id = {s.segment_id: s for s in man.segments}
+    group = [s.segment_id for s in man.ordered_segments()]
+    # force the sharded path even at sf0.001 scale
+    n = _auto_shards(seg_by_id, group, target_shard_bytes=1 << 12)
+    assert n > 1
+    from rayfts.index.merge import merge_segment_group_sharded
+    merge_segment_group_sharded(path, man.schema.to_json(), group, n)
+    merged = [mf.segment_path(path, merged_segment_id(group))]
+    assert all(os.path.isdir(d) for d in merged)
+    # swap manifest the way log_merge does, then compare query snapshots
+    m2 = log_merge_index(path, min_merge=2, max_merge=len(group))
+    assert len(m2.segments) < len(group)
+    assert snapshot(path) == before
