@@ -1055,6 +1055,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["decontaminate_8gram"] = decontam_q
 
+    def prepare_corpus_q(sf):
+        """Published-recipe corpus preparation chained end-to-end
+        (Gopher repetition gate -> RefinedWeb line dedup -> GPT-3
+        decontamination on the rewritten text -> exact dedup), every
+        stage the individually-verified operator; rewritten STRINGS are
+        hash-compared. Input is the line-salted corpus; the benchmark
+        is every 97th doc's original salted text."""
+        from rayfts.ops.prep import prepare_corpus
+
+        def pick_bench(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(ids % 97 == 0))
+
+        ds = _line_salted_docs(sf)
+        bench = _line_salted_docs(sf).map_batches(
+            pick_bench, batch_format="pyarrow")
+        out = prepare_corpus(ds, bench, min_docs=2, k=8)
+        return (out.select_columns(["doc_id", "text", "n_removed_lines"])
+                .sort("doc_id"))
+
+    q["prepare_corpus"] = prepare_corpus_q
+
     def multimodal_q(sf):
         """REAL image decode (stdlib zlib PNG codec when PIL is absent,
         rayfts/ops/media_codec.py): the fixture pixels are a closed form
@@ -1131,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # drops only previously-verified expensive rows.
     run_order = [
         # never driver-checked before round 4 (all cheap)
+        "prepare_corpus",
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
         "topk_per_group_events", "decontaminate_8gram",
@@ -1403,6 +1426,122 @@ def _roll_window_sql(width: int, idx: str) -> str:
         terms.append(_mulmod64_sql(ref, p) if p != 1
                      else f"CAST({ref} AS HUGEINT)")
     return "((" + " + ".join(terms) + f") % {M})"
+
+
+def _shingle_case_sql(k: int) -> str:
+    """The CASE expression mapping a token-hash list ``hs`` to its
+    k-gram rolling-hash shingle list (docs shorter than ``k`` hash as
+    one whole-doc window) — shared by the decontamination oracles."""
+    arms = "\n".join(
+        f"         WHEN len(hs) = {L} THEN [{_roll_window_sql(L, '1')}]"
+        for L in range(1, k))
+    return f"""CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+{arms}
+         ELSE [{_roll_window_sql(k, 'i')}
+               for i in generate_series(1, len(hs) - {k - 1})]
+    END"""
+
+
+def _prepare_corpus_sql(k: int = 8, min_docs: int = 2) -> str:
+    """Oracle for rayfts.ops.prep.prepare_corpus — the four published
+    stages chained IN ORDER over the line-salted corpus:
+
+    1. Gopher repetition gate (same exact-integer signals as
+       _repetition_sql, same float thresholds as repetition_filter);
+    2. RefinedWeb line dedup restricted to gate survivors (a dropped
+       doc must not vote on which lines are duplicated);
+    3. GPT-3 decontamination probing the REWRITTEN text against the
+       benchmark set (every 97th doc's ORIGINAL salted text);
+    4. exact dedup: min doc_id per rewritten text.
+    """
+    strip = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    tok = ("[('0x' || substr(md5(lower(x)), 1, 16))::UBIGINT "
+           "for x in regexp_extract_all({src}, '[\\p{{L}}\\p{{N}}]+')]")
+    case = _shingle_case_sql(k)
+    return rf"""
+WITH t AS (SELECT doc_id,
+    COALESCE(text, '') || CASE WHEN doc_id % 3 = 0 THEN
+      chr(10) || 'sponsored banner ' || (doc_id % 7) ||
+      chr(10) || '  footer text' || chr(9) ||
+      chr(10) || 'unique tag ' || doc_id
+    ELSE '' END AS text FROM documents),
+rlx AS (SELECT doc_id, trim(x, {strip}) AS line
+        FROM t, unnest(string_split(text, chr(10))) AS u(x)),
+rlc AS (SELECT doc_id, line, count(*) AS c, length(line) AS L
+        FROM rlx WHERE line <> '' GROUP BY 1, 2),
+rlagg AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup_lines,
+                 sum(c * L) AS n_line_chars,
+                 sum((c - 1) * L) AS n_dup_line_chars
+          FROM rlc GROUP BY 1),
+rw0 AS (SELECT doc_id,
+         [lower(x) for x in regexp_extract_all(text, '[\p{{L}}\p{{N}}]+')] AS ws
+        FROM t),
+rwagg AS (SELECT doc_id,
+                 COALESCE(list_sum([length(x) for x in ws]), 0) AS n_word_chars
+          FROM rw0),
+rg2 AS (SELECT doc_id,
+         unnest([ws[i] || chr(1) || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS g
+        FROM rw0),
+rg2c AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+rg2t AS (SELECT doc_id, max(c * (length(g) - 1)) AS top_2gram_char_cover
+         FROM rg2c GROUP BY 1),
+rg5 AS (SELECT doc_id,
+         unnest([ws[i] || chr(1) || ws[i + 1] || chr(1) || ws[i + 2]
+                   || chr(1) || ws[i + 3] || chr(1) || ws[i + 4]
+                 for i in generate_series(1, len(ws) - 4)]) AS g
+        FROM rw0),
+rg5a AS (SELECT doc_id, count(*) AS n_5grams,
+                count(*) - count(DISTINCT g) AS n_dup_5grams
+         FROM rg5 GROUP BY 1),
+rep AS (SELECT t.doc_id,
+  COALESCE(n_lines, 0) AS n_lines,
+  COALESCE(n_dup_lines, 0) AS n_dup_lines,
+  COALESCE(n_line_chars, 0) AS n_line_chars,
+  COALESCE(n_dup_line_chars, 0) AS n_dup_line_chars,
+  COALESCE(n_word_chars, 0) AS n_word_chars,
+  COALESCE(top_2gram_char_cover, 0) AS top_2gram_char_cover,
+  COALESCE(n_5grams, 0) AS n_5grams,
+  COALESCE(n_dup_5grams, 0) AS n_dup_5grams
+FROM t LEFT JOIN rlagg USING (doc_id) LEFT JOIN rwagg USING (doc_id)
+LEFT JOIN rg2t USING (doc_id) LEFT JOIN rg5a USING (doc_id)),
+gated AS (SELECT doc_id FROM rep
+  WHERE NOT (n_dup_lines > 0.30 * n_lines
+             OR n_dup_line_chars > 0.20 * n_line_chars
+             OR top_2gram_char_cover > 0.20 * n_word_chars
+             OR n_dup_5grams > 0.15 * n_5grams)),
+ls0 AS (SELECT doc_id, string_split(text, chr(10)) AS rls FROM t
+        WHERE doc_id IN (SELECT doc_id FROM gated)),
+lx AS (SELECT doc_id, unnest(rls) AS raw,
+              unnest(generate_series(1, len(rls))) AS i FROM ls0),
+ls AS (SELECT doc_id, i, raw, trim(raw, {strip}) AS s FROM lx),
+q AS (SELECT s FROM ls WHERE s <> '' GROUP BY s
+      HAVING count(DISTINCT doc_id) >= {min_docs}),
+keptl AS (SELECT doc_id, i, raw FROM ls
+          WHERE s = '' OR s NOT IN (SELECT s FROM q)),
+reb AS (SELECT doc_id, string_agg(raw, chr(10) ORDER BY i) AS text,
+               count(*) AS n_kept FROM keptl GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ls GROUP BY doc_id),
+rw AS (SELECT g.doc_id, COALESCE(reb.text, '') AS text,
+              CAST(tot.n_lines - COALESCE(reb.n_kept, 0) AS BIGINT)
+                  AS n_removed_lines
+       FROM gated g JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)),
+bh AS (SELECT doc_id, {tok.format(src="text")} AS hs
+       FROM t WHERE doc_id % 97 = 0),
+bsh AS (SELECT doc_id, {case} AS sh FROM bh),
+bench AS (SELECT DISTINCT unnest(list_distinct(sh)) AS s FROM bsh),
+ph AS (SELECT doc_id, {tok.format(src="text")} AS hs FROM rw),
+psh AS (SELECT doc_id, {case} AS sh FROM ph),
+puni AS (SELECT doc_id, list_distinct(sh) AS us FROM psh),
+ov AS (SELECT e.doc_id, count(*) AS n_overlap
+       FROM (SELECT doc_id, unnest(us) AS s FROM puni) e
+       JOIN bench USING (s) GROUP BY 1),
+clean AS (SELECT rw.* FROM rw LEFT JOIN ov USING (doc_id)
+          WHERE COALESCE(ov.n_overlap, 0) = 0),
+ex AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY text)
+SELECT c.doc_id, c.text, c.n_removed_lines
+FROM clean c JOIN ex USING (doc_id) ORDER BY c.doc_id
+"""
 
 
 def _decontam_sql(k: int = 8) -> str:
@@ -2194,6 +2333,7 @@ WHERE rank <= 5 ORDER BY event_type, rank
     # codec, rayfts/ops/media_codec.py) and these oracles recompute the
     # same sums symbolically — decode bugs cannot hash-match.
     sql["decontaminate_8gram"] = _decontam_sql(k=8)
+    sql["prepare_corpus"] = _prepare_corpus_sql(k=8, min_docs=2)
     sql["multimodal_decode"] = """
 WITH imgs AS (
   SELECT i, 16 + (i % 13) AS w, 16 + ((i * 7) % 11) AS h FROM range(0, 64) t(i)),

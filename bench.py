@@ -388,6 +388,13 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     decontaminate_stats(ray.data.read_parquet(docs), bench_set,
                         k=8).count()
     out["decontaminate"] = time.time() - t0
+
+    from rayfts.ops.prep import prepare_corpus
+
+    t0 = time.time()
+    prepare_corpus(ray.data.read_parquet(docs),
+                   ray.data.read_parquet(docs).limit(200)).count()
+    out["prepare_corpus"] = time.time() - t0
     return out
 
 

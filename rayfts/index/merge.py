@@ -597,10 +597,12 @@ def _merge_group_sharded_task(
 
 def _auto_shards(
     seg_by_id: dict, group: list[str],
-    target_shard_bytes: int = 12 << 20, max_shards: int = 16,
+    target_shard_bytes: int = 8 << 20, max_shards: int = 16,
 ) -> int:
-    """Shard count for one merge group: ~one shard per 12 MB of encoded
-    postings+positions (the decoded working set is ~5x that), capped."""
+    """Shard count for one merge group: ~one shard per 8 MB of encoded
+    postings+positions (the decoded working set is ~5x that; measured
+    per-shard overhead is well under a second, so erring toward more
+    shards is cheap), capped."""
     est = sum(
         (seg_by_id[s].metrics or {}).get("postings_bytes", 0)
         + (seg_by_id[s].metrics or {}).get("positions_bytes", 0)
