@@ -508,6 +508,9 @@ def merge_segment_group_sharded(
     out_id = merged_segment_id(source_ids)
     out_dir = mf.segment_path(index_dir, out_id)
     tmp = out_dir + ".tmp"
+    # a crashed prior attempt may have left shard files for a DIFFERENT
+    # plan in tmp; they must not ride the final rename into the segment
+    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
     plan = plan_merge_shards(readers, schema, num_shards)

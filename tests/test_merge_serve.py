@@ -521,3 +521,25 @@ def test_log_merge_uses_sharding_and_preserves_results(ray_session, tmp_path):
     m2 = log_merge_index(path, min_merge=2, max_merge=len(group))
     assert len(m2.segments) < len(group)
     assert snapshot(path) == before
+
+
+def test_sharded_merge_cleans_stale_tmp(built, ray_session, tmp_path):
+    """A crashed prior attempt may leave shard files for a DIFFERENT
+    plan in the .tmp dir; they must not ride the rename into the final
+    segment."""
+    import os
+    import shutil
+
+    from rayfts.index.merge import merge_segment_group_sharded
+
+    man = mf.read_manifest(built)
+    ids = [s.segment_id for s in man.ordered_segments()][:3]
+    p = str(tmp_path / "stale")
+    shutil.copytree(built, p)
+    tmp = mf.segment_path(p, merged_segment_id(ids)) + ".tmp"
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "shard-99999.post"), "wb").write(b"junk")
+    merge_segment_group_sharded(p, man.schema.to_json(), ids, 2)
+    seg = mf.segment_path(p, merged_segment_id(ids))
+    assert os.path.isdir(seg)
+    assert not [f for f in os.listdir(seg) if f.startswith("shard-")]
