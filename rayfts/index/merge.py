@@ -411,7 +411,7 @@ def plan_merge_shards(
                 d["pos_len"].astype(np.int64), 0)
             cw = np.concatenate([[0], np.cumsum(w)])
             w_field += int(cw[-1])
-            stride = max(1, nterms // 128)
+            stride = max(1, nterms // 512)
             ords = np.arange(0, nterms, stride)
             terms = d["terms_pa"].take(pa.array(ords)).to_pylist()
             gap_w = cw[np.minimum(ords + stride, nterms)] - cw[ords]
