@@ -1077,6 +1077,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["prepare_corpus"] = prepare_corpus_q
 
+    def shuffle_ranks_q(sf):
+        """Deterministic global shuffle: every row's position in the
+        seeded permutation order by (splitmix64(doc_id ^ seed), doc_id).
+        No sort and no corpus shuffle — hash-range chunks + the same
+        two-phase distributed prefix sum as sequence packing; the
+        permutation is a pure function of (ids, seed), so retries,
+        resumes and different cluster sizes reproduce it bit-for-bit
+        (verified here: ranks are hash-compared against row_number)."""
+        from rayfts.ops.shuffle import shuffle_ranks
+
+        return shuffle_ranks(_docs_ds(sf), seed=42).sort("doc_id")
+
+    q["shuffle_ranks"] = shuffle_ranks_q
+
     def multimodal_q(sf):
         """REAL image decode (stdlib zlib PNG codec when PIL is absent,
         rayfts/ops/media_codec.py): the fixture pixels are a closed form
@@ -1153,7 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # drops only previously-verified expensive rows.
     run_order = [
         # never driver-checked before round 4 (all cheap)
-        "prepare_corpus",
+        "prepare_corpus", "shuffle_ranks",
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
         "topk_per_group_events", "decontaminate_8gram",
@@ -2334,6 +2348,13 @@ WHERE rank <= 5 ORDER BY event_type, rank
     # same sums symbolically — decode bugs cannot hash-match.
     sql["decontaminate_8gram"] = _decontam_sql(k=8)
     sql["prepare_corpus"] = _prepare_corpus_sql(k=8, min_docs=2)
+    sql["shuffle_ranks"] = f"""
+WITH {_splitmix_ctes("documents", "doc_id")}
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+           AS shuffle_rank
+FROM smh ORDER BY doc_id
+"""
     sql["multimodal_decode"] = """
 WITH imgs AS (
   SELECT i, 16 + (i % 13) AS w, 16 + ((i * 7) % 11) AS h FROM range(0, 64) t(i)),
