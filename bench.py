@@ -395,6 +395,12 @@ def bench_sf_ops(sf_dir: str) -> dict[str, float]:
     prepare_corpus(ray.data.read_parquet(docs),
                    ray.data.read_parquet(docs).limit(200)).count()
     out["prepare_corpus"] = time.time() - t0
+
+    from rayfts.ops.shuffle import shuffle_ranks
+
+    t0 = time.time()
+    shuffle_ranks(ray.data.read_parquet(docs, columns=["doc_id"])).count()
+    out["shuffle_ranks"] = time.time() - t0
     return out
 
 
