@@ -70,14 +70,18 @@ class TokenizeFragments:
         p_docids = ids[s_docs[run_starts]]
         tchange = np.concatenate([[True], p_codes[1:] != p_codes[:-1]])
         t_starts = np.flatnonzero(tchange)
-        t_ends = np.append(t_starts[1:], p_codes.size)
-        docid_lists = [p_docids[a:b] for a, b in zip(t_starts, t_ends)]
+        # list columns straight from (values, offsets) — no per-term
+        # Python slicing/tolist (was ~20% of the map stage)
+        offs = pa.array(np.append(t_starts, p_codes.size).astype(np.int32))
+        docids_arr = pa.ListArray.from_arrays(
+            offs, pa.array(p_docids, type=pa.int64()))
+        tfs_arr = pa.ListArray.from_arrays(offs, pa.array(tfs, type=pa.int64()))
         return pa.table({
-            "term": pa.array([uniques[c] for c in p_codes[t_starts]], type=pa.string()),
-            "min_docid": pa.array([int(d[0]) for d in docid_lists], type=pa.int64()),
-            "docids": pa.array([d.tolist() for d in docid_lists], type=pa.list_(pa.int64())),
-            "tfs": pa.array([tfs[a:b].tolist() for a, b in zip(t_starts, t_ends)],
-                            type=pa.list_(pa.int64())),
+            "term": pa.array(np.asarray(uniques, dtype=object)[p_codes[t_starts]],
+                             type=pa.string()),
+            "min_docid": pa.array(p_docids[t_starts], type=pa.int64()),
+            "docids": docids_arr,
+            "tfs": tfs_arr,
         })
 
 
