@@ -533,6 +533,33 @@ def cmd_line_dedup(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """Composed published-recipe preparation: Gopher repetition gate ->
+    RefinedWeb line dedup -> GPT-3 decontamination -> exact dedup."""
+    _ensure_ray()
+    from rayfts.ops.prep import prepare_corpus
+
+    out = prepare_corpus(_read_inputs(args.input), _read_inputs(args.bench),
+                         col=args.col, id_col=args.id_col,
+                         min_docs=args.min_docs, k=args.k)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
+def cmd_shuffle_ranks(args) -> int:
+    """Seeded deterministic global-shuffle ranks (permutation by
+    splitmix64(id ^ seed); reproducible across runs and cluster sizes)."""
+    _ensure_ray()
+    from rayfts.ops.shuffle import shuffle_ranks
+
+    out = shuffle_ranks(_read_inputs(args.input), id_col=args.id_col,
+                        seed=args.seed, chunk_bits=args.chunk_bits)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.count()}))
+    return 0
+
+
 def cmd_chunk(args) -> int:
     """Sliding-window codepoint chunking -> (id, chunk_id, start, text)."""
     _ensure_ray()
@@ -848,6 +875,28 @@ def main(argv: list[str] | None = None) -> int:
     ld.add_argument("--min-docs", type=int, default=2)
     ld.add_argument("--out", required=True)
     ld.set_defaults(fn=cmd_line_dedup)
+
+    pr = sub.add_parser("prepare",
+                        help="composed recipe: repetition gate -> line "
+                             "dedup -> decontaminate -> exact dedup")
+    pr.add_argument("--input", nargs="+", required=True)
+    pr.add_argument("--bench", nargs="+", required=True,
+                    help="held-out benchmark parquet for decontamination")
+    pr.add_argument("--col", default="text")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--min-docs", type=int, default=2)
+    pr.add_argument("--k", type=int, default=8)
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_prepare)
+
+    sr = sub.add_parser("shuffle-ranks",
+                        help="seeded deterministic global-shuffle ranks")
+    sr.add_argument("--input", nargs="+", required=True)
+    sr.add_argument("--id-col", default="doc_id")
+    sr.add_argument("--seed", type=int, default=42)
+    sr.add_argument("--chunk-bits", type=int, default=12)
+    sr.add_argument("--out", required=True)
+    sr.set_defaults(fn=cmd_shuffle_ranks)
 
     ck = sub.add_parser("chunk",
                         help="sliding-window codepoint chunking")
