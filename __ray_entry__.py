@@ -1160,6 +1160,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["video_frame_sample"] = video_frames_q
 
+    def video_frame_sums_q(sf):
+        """REAL video decode: the fixture writes genuine uncompressed
+        RIFF/AVI bytes (stdlib codec, rayfts/ops/media_codec.py
+        encode_avi/decode_avi — BGR bottom-up padded rows per the
+        public spec) with closed-form pixels; the stage decodes the
+        container and reports exact per-sampled-frame pixel sums, which
+        the oracle recomputes symbolically — a decode bug cannot
+        hash-match."""
+        from rayfts.ops.multimodal import (VideoFrameSums, decode_pipeline,
+                                           synth_avi_table)
+
+        ds = ray.data.from_arrow(synth_avi_table(32))
+        out = decode_pipeline(ds, VideoFrameSums, fake=False, n_frames=3)
+
+        def explode(b: pa.Table) -> pa.Table:
+            fs = b["frame_sums"].combine_chunks()
+            lens = np.diff(fs.offsets.to_numpy(zero_copy_only=False))
+            rep = np.repeat(np.arange(b.num_rows), lens)
+            idx = (np.arange(int(lens.sum()))
+                   - np.repeat(np.cumsum(lens) - lens, lens))
+            return pa.table({
+                "media_id": b["media_id"].take(pa.array(rep)),
+                "frame_idx": pa.array(idx, type=pa.int64()),
+                "n_frames_total": b["n_frames_total"].take(pa.array(rep)),
+                "width": b["width"].take(pa.array(rep)),
+                "height": b["height"].take(pa.array(rep)),
+                "frame_sum": fs.flatten(),
+            })
+
+        return (out.map_batches(explode, batch_format="pyarrow")
+                .sort(["media_id", "frame_idx"]))
+
+    q["video_frame_sums"] = video_frame_sums_q
+
     # Run order: the driver walks this dict in insertion order and its
     # budget can truncate the tail (round 3 checked exactly the first 50
     # keys). Put the rows that have never had a driver correctness entry
@@ -1167,7 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # drops only previously-verified expensive rows.
     run_order = [
         # never driver-checked before round 4 (all cheap)
-        "prepare_corpus", "shuffle_ranks",
+        "prepare_corpus", "shuffle_ranks", "video_frame_sums",
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
         "topk_per_group_events", "decontaminate_8gram",
@@ -2374,6 +2408,24 @@ px AS (
   FROM imgs, range(0, 8) tx(x), range(0, 8) ty(y), range(0, 3) tc(c))
 SELECT i AS media_id, 8 AS width, 8 AS height, CAST(SUM(v) AS BIGINT) AS pixel_sum
 FROM px GROUP BY 1 ORDER BY 1
+"""
+    sql["video_frame_sums"] = """
+WITH clips AS (
+  SELECT i, 4 + (i % 3) AS nf, 16 + (i % 5) AS w, 16 + ((i * 3) % 7) AS h
+  FROM range(0, 32) t(i)),
+sel AS (
+  SELECT i, nf, w, h, j, least(j * greatest(1, nf // 3), nf - 1) AS f
+  FROM clips, range(0, 3) tj(j)),
+px AS (
+  SELECT s.i, s.j, s.nf, s.w, s.h,
+         (x * 3 + y * 5 + c * 7 + s.f * 11 + s.i) % 256 AS v
+  FROM sel s, range(0, 21) tx(x), range(0, 23) ty(y), range(0, 3) tc(c)
+  WHERE x < s.w AND y < s.h)
+SELECT i AS media_id, CAST(j AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames_total,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS frame_sum
+FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2
 """
     sql["multimodal_audio_decode"] = """
 WITH clips AS (

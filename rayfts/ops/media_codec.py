@@ -158,3 +158,104 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         frames = f.readframes(f.getnframes())
         return (np.frombuffer(frames, dtype="<i2"),
                 f.getframerate(), f.getnchannels())
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF, uncompressed RGB24 'DIB ') — the video analogue of the PNG
+# path: a REAL container format written and parsed with stdlib struct
+# only, so the video stage can decode genuine bytes in this environment.
+# Layout follows the public AVI RIFF specification (msdn AVI RIFF File
+# Reference): BITMAPINFOHEADER frames are stored bottom-up, BGR byte
+# order, rows padded to 4 bytes. Scope: one 24-bit uncompressed video
+# stream ('00db' chunks); anything else raises ValueError.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """``frames``: (n, h, w, 3) uint8 RGB -> uncompressed AVI bytes."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    row_bytes = (w * 3 + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    # RGB top-down -> BGR bottom-up with row padding
+    def dib(f: np.ndarray) -> bytes:
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", dib(f)) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10,
+                    4 + i * (8 + frame_bytes + (frame_bytes % 2)),
+                    frame_bytes)
+        for i in range(n))
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """AVI bytes -> (n, h, w, 3) uint8 RGB frames."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF file")
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            tag = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            yield tag, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    w = h = bitcount = None
+    frames = []
+    for tag, off, size in chunks(data, 12, len(data)):
+        if tag != b"LIST":
+            continue
+        kind = data[off:off + 4]
+        if kind == b"hdrl":
+            for t2, o2, s2 in chunks(data, off + 4, off + size):
+                if t2 == b"LIST" and data[o2:o2 + 4] == b"strl":
+                    for t3, o3, s3 in chunks(data, o2 + 4, o2 + s2):
+                        if t3 == b"strf":
+                            (_sz, w, h, _planes, bitcount) = struct.unpack_from(
+                                "<IiiHH", data, o3)
+        elif kind == b"movi":
+            for t2, o2, s2 in chunks(data, off + 4, off + size):
+                if t2 in (b"00db", b"00dc"):
+                    frames.append((o2, s2))
+    if w is None or not frames:
+        raise ValueError("no video stream found")
+    if bitcount != 24:
+        raise ValueError(f"only 24-bit uncompressed AVI supported, got {bitcount}")
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, (o, s) in enumerate(frames):
+        if s < row_bytes * h:
+            raise ValueError("truncated frame")
+        rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h,
+                             offset=o).reshape(h, row_bytes)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return out

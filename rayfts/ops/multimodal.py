@@ -93,6 +93,32 @@ def synth_wav_table(n: int) -> pa.Table:
     })
 
 
+def synth_avi_table(n: int) -> pa.Table:
+    """REAL uncompressed-AVI payloads with closed-form pixels: clip ``i``
+    has ``nf = 4 + i % 3`` frames of ``w = 16 + i % 5``,
+    ``h = 16 + (i*3) % 7``, RGB with
+    ``pixel[f][y, x, c] = (x*3 + y*5 + c*7 + f*11 + i) % 256``."""
+    from rayfts.ops.media_codec import encode_avi
+
+    payloads = []
+    for i in range(n):
+        nf, w, h = 4 + i % 3, 16 + i % 5, 16 + (i * 3) % 7
+        f = np.arange(nf, dtype=np.int64)
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        px = (x[None, None, :, None] * 3 + y[None, :, None, None] * 5
+              + c[None, None, None, :] * 7 + f[:, None, None, None] * 11
+              + i) % 256
+        payloads.append(encode_avi(px.astype(np.uint8)))
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "media_type": pa.array(["video"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "meta_json": pa.array(["{}"] * n, type=pa.string()),
+    })
+
+
 class _MediaStage:
     """Base actor-pool stage: real decoder loaded once per actor in
     __init__ when available; stdlib codec real path where one exists
@@ -438,6 +464,64 @@ class VideoFrameSample(_MediaStage):
         return self._finish(batch, {
             "frame_digests": pa.array(frames, type=pa.list_(pa.string())),
         })
+
+
+class VideoFrameSums(_MediaStage):
+    """payload -> exact per-sampled-frame pixel sums + dims (REAL decode
+    via the stdlib AVI codec — SQL-checkable, unlike digests). Sampling
+    convention matches VideoFrameSample: ``n_frames`` indices
+    ``min(i * step, total - 1)`` with ``step = max(1, total //
+    n_frames)``. The av path computes the same sums from decoded
+    ndarray frames."""
+
+    lib_name = "av"
+    has_stdlib_codec = True
+
+    def __init__(self, n_frames: int = 4, **kw):
+        super().__init__(**kw)
+        self.n_frames = n_frames
+
+    def _sums_rows(self, decode):
+        def run(batch: pa.Table) -> pa.Table:
+            sums, nf_tot, ws, hs = [], [], [], []
+            for payload in batch["payload"].to_pylist():
+                frames = decode(payload)  # (n, h, w, 3) uint8
+                total = frames.shape[0]
+                step = max(1, total // self.n_frames)
+                idx = [min(i * step, total - 1) for i in range(self.n_frames)]
+                sums.append([int(frames[j].astype(np.int64).sum()) for j in idx])
+                nf_tot.append(total)
+                hs.append(int(frames.shape[1]))
+                ws.append(int(frames.shape[2]))
+            return self._finish(batch, {
+                "n_frames_total": pa.array(nf_tot, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "frame_sums": pa.array(sums, type=pa.list_(pa.int64())),
+            })
+        return run
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
+        from rayfts.ops.media_codec import decode_avi
+
+        return self._sums_rows(decode_avi)(batch)
+
+    def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
+        def decode(payload):
+            with self.lib.open(io.BytesIO(payload)) as container:
+                return np.stack([f.to_ndarray(format="rgb24")
+                                 for f in container.decode(video=0)])
+        return self._sums_rows(decode)(batch)
+
+    def _call_fake(self, batch: pa.Table) -> pa.Table:
+        # deterministic byte-window sums (same shape, honest fake)
+        def decode(payload):
+            p = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            side = max(1, int(p.size ** 0.5) // 2)
+            need = 4 * side * side * 3
+            rep = np.resize(p, need)
+            return rep.reshape(4, side, side, 3)
+        return self._sums_rows(decode)(batch)
 
 
 def decode_pipeline(ds, stage_cls=DecodeImage, fake: bool = True,

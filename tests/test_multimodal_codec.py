@@ -131,3 +131,52 @@ def test_stdlib_stages_real_decode(ray_session):
         assert r["sample_rate"] == 8000 + 100 * (i % 8)
         assert r["n_channels"] == 1
         assert r["sample_sum"] == int((((t * 31 + i * 17) % 65536) - 32768).sum())
+
+
+def test_avi_round_trip_with_padding():
+    """Odd widths exercise the 4-byte row padding and BGR bottom-up
+    conversion both ways."""
+    from rayfts.ops.media_codec import decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    for n, h, w in [(1, 16, 16), (4, 17, 21), (6, 9, 13)]:
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        rt = decode_avi(encode_avi(frames))
+        assert rt.shape == frames.shape
+        assert (rt == frames).all()
+
+
+def test_avi_rejects_non_avi_and_wrong_depth():
+    from rayfts.ops.media_codec import decode_avi, encode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        encode_avi(np.zeros((2, 4, 4), dtype=np.uint8))  # missing channels
+
+
+def test_video_frame_sums_stage_real_bytes(ray_session):
+    """The stage decodes genuine AVI containers and reports exact
+    per-frame pixel sums matching the closed-form fixture."""
+    import ray.data
+
+    from rayfts.ops.multimodal import (VideoFrameSums, decode_pipeline,
+                                       synth_avi_table)
+
+    t = synth_avi_table(6)
+    out = decode_pipeline(ray.data.from_arrow(t), VideoFrameSums,
+                          fake=False, n_frames=3).take_all()
+    assert len(out) == 6
+    for r in out:
+        i = r["media_id"]
+        nf, w, h = 4 + i % 3, 16 + i % 5, 16 + (i * 3) % 7
+        assert r["n_frames_total"] == nf
+        assert (r["width"], r["height"]) == (w, h)
+        step = max(1, nf // 3)
+        for j, got in enumerate(r["frame_sums"]):
+            f = min(j * step, nf - 1)
+            xs = np.arange(w)[None, :, None]
+            ys = np.arange(h)[:, None, None]
+            cs = np.arange(3)[None, None, :]
+            want = int(((xs * 3 + ys * 5 + cs * 7 + f * 11 + i) % 256).sum())
+            assert got == want, (i, j)
