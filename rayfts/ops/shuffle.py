@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from rayfts.ops.sample import splitmix64
 
-__all__ = ["shuffle_ranks"]
+__all__ = ["shuffle_ranks", "write_shuffled"]
 
 
 def shuffle_ranks(
@@ -118,3 +118,90 @@ def shuffle_ranks(
             .map_batches(tag, batch_format="pyarrow")
             .groupby("chunk")
             .map_groups(place, batch_format="pyarrow"))
+
+
+def write_shuffled(
+    ds,
+    out_dir: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    chunk_bits: int = 12,
+    resume: bool = True,
+):
+    """Materialize the corpus in seeded-shuffled order as RESUMABLE
+    partitioned Parquet: chunk c of the permutation (a contiguous rank
+    range, because chunks are the top bits of the uniform hash) becomes
+    ``out_dir/part-<start_rank>.parquet`` with rows in rank order —
+    reading the files in name order replays the exact global
+    permutation. Files commit atomically (tmp+rename); a re-run skips
+    committed parts (the permutation is a pure function of (ids, seed),
+    so a resumed run reproduces identical files). This is the one
+    shuffle that must move the payload — it rides the SAME single
+    exchange that assigns ranks; nothing corpus-sized is exchanged
+    twice or held on the driver.
+
+    Returns a summary Dataset of (part_path, start_rank, rows).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if not 1 <= chunk_bits <= 32:
+        raise ValueError(f"chunk_bits must be in [1, 32], got {chunk_bits}")
+    shift = np.uint64(64 - chunk_bits)
+    payload_cols = [c for c in ds.schema().names if c != id_col]
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = (splitmix64(ids.view(np.uint64), seed=seed) >> shift).astype(np.int64)
+        u, counts = np.unique(chunk, return_counts=True)
+        return pa.table({"chunk": pa.array(u, type=pa.int64()),
+                         "s": pa.array(counts, type=pa.int64())})
+
+    totals = (ds.select_columns([id_col])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby("chunk").sum("s").to_pandas()).sort_values("chunk")
+    chunks = totals["chunk"].to_numpy().astype(np.int64)
+    starts = np.concatenate(
+        ([0], np.cumsum(totals["sum(s)"].to_numpy().astype(np.int64))[:-1]))
+    off_ref = ray.put((chunks, starts))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64), seed=seed)
+        return (b.append_column("__h", pa.array(h, type=pa.uint64()))
+                .append_column("chunk",
+                               pa.array((h >> shift).astype(np.int64))))
+
+    def write_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"part_path": pa.array([], type=pa.string()),
+                          "start_rank": pa.array([], type=pa.int64()),
+                          "rows": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "chunk" not in g.column_names:
+            return empty
+        ch_arr, st_arr = ray.get(off_ref)
+        c = int(g["chunk"][0].as_py())
+        base = int(st_arr[np.searchsorted(ch_arr, c)])
+        dst = os.path.join(out_dir, f"part-{base:015d}.parquet")
+        if resume and os.path.exists(dst):
+            return pa.table({"part_path": pa.array([dst]),
+                             "start_rank": pa.array([base], type=pa.int64()),
+                             "rows": pa.array([g.num_rows], type=pa.int64())})
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        h = g["__h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        out = g.drop_columns(["__h", "chunk"]).take(pa.array(order))
+        tmp = dst + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dst)
+        return pa.table({"part_path": pa.array([dst]),
+                         "start_rank": pa.array([base], type=pa.int64()),
+                         "rows": pa.array([g.num_rows], type=pa.int64())})
+
+    return (ds.select_columns([id_col] + payload_cols)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("chunk")
+            .map_groups(write_part, batch_format="pyarrow"))

@@ -64,3 +64,33 @@ def test_keep_cols_ride_along(ray_session):
     for r in out:
         assert r["label"] == f"v{r['doc_id']}"
         assert r["shuffle_rank"] == want[r["doc_id"]]
+
+
+def test_write_shuffled_replays_permutation_and_resumes(ray_session, tmp_path):
+    """Files read in name order replay the exact seeded permutation;
+    a deleted part is reproduced byte-identically on re-run while
+    committed parts are skipped."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayfts.ops.shuffle import write_shuffled
+
+    ids = np.arange(1500, dtype=np.int64)
+    ds = _ds(ids, {"text": pa.array([f"doc {i}" for i in ids])})
+    out = str(tmp_path / "shuffled")
+    summary = write_shuffled(ds, out, seed=9, chunk_bits=4).take_all()
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) == len(summary) == 16
+    cat = pa.concat_tables([pq.read_table(f) for f in files])
+    ranks = _expected(ids, 9)
+    assert cat["doc_id"].to_pylist() == sorted(
+        ids.tolist(), key=lambda i: ranks[i])
+    assert cat.num_rows == ids.size
+
+    victim = files[5]
+    orig = open(victim, "rb").read()
+    os.unlink(victim)
+    write_shuffled(ds, out, seed=9, chunk_bits=4).take_all()
+    assert open(victim, "rb").read() == orig
