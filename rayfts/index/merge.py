@@ -297,6 +297,9 @@ def merge_segment_group(
     out_id = merged_segment_id(source_ids)
     out_dir = mf.segment_path(index_dir, out_id)
     tmp = out_dir + ".tmp"
+    # a crashed SHARDED attempt may have left shard scratch files here;
+    # this path writes fixed names only, so junk would ride the rename
+    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
     term_rows = {k: [] for k in
@@ -645,22 +648,6 @@ def _merge_group_task(index_dir: str, schema_json: list, source_ids: list[str]) 
     finally:
         pa.set_cpu_count(old_cpu)
         pa.set_io_thread_count(old_io)
-
-
-@ray.remote
-class MergerActor:
-    """Actor-pool merger: one actor merges many groups sequentially,
-    amortizing process start; big streaming state stays actor-local."""
-
-    def __init__(self):
-        # N merge actors x Arrow's default all-cores thread pool would
-        # oversubscribe the node; the merge itself is single-threaded numpy
-        if pa.cpu_count() > 2:
-            pa.set_cpu_count(2)
-            pa.set_io_thread_count(2)
-
-    def merge(self, index_dir: str, schema_json: list, source_ids: list[str]) -> dict:
-        return merge_segment_group(index_dir, schema_json, source_ids).to_json()
 
 
 def merge_index(

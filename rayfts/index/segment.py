@@ -418,6 +418,32 @@ def build_segment(
     return info
 
 
+_TERMS_CACHE: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+_TERMS_CACHE_MAX = 16
+
+
+def _read_terms_table(path: str) -> pa.Table:
+    """Per-process cache of terms tables keyed by (path, mtime_ns, size).
+
+    Segment files are immutable once committed (tmp+rename), so the key
+    only changes if a path is ever reused for different bytes. The cache
+    exists for the term-sharded merge: every shard task builds its own
+    SegmentReader per source, and without it a 16-shard merge of a
+    16-source group parses the same 16 terms parquets 256 times in the
+    same reused worker processes."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    t = _TERMS_CACHE.get(key)
+    if t is not None:
+        _TERMS_CACHE.move_to_end(key)
+        return t
+    t = pq.read_table(path)
+    _TERMS_CACHE[key] = t
+    while len(_TERMS_CACHE) > _TERMS_CACHE_MAX:
+        _TERMS_CACHE.popitem(last=False)
+    return t
+
+
 class SegmentReader:
     """Mmap-backed reader of one segment. Term dictionary loads lazily per
     field; postings/positions are addressed through ``np.memmap`` so the
@@ -453,7 +479,8 @@ class SegmentReader:
         if cached is not None:
             return cached
         if self._terms_table is None:
-            self._terms_table = pq.read_table(os.path.join(self.path, TERMS_FILE))
+            self._terms_table = _read_terms_table(
+                os.path.join(self.path, TERMS_FILE))
         t = self._terms_table
         mask = pa.compute.equal(t["field"], field)
         sub = t.filter(mask)

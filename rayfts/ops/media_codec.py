@@ -230,21 +230,32 @@ def decode_avi(data: bytes) -> np.ndarray:
             pos += 8 + size + (size % 2)
 
     w = h = bitcount = None
+    vids_stream = None  # stream index of the FIRST 'vids' strl
     frames = []
     for tag, off, size in chunks(data, 12, len(data)):
         if tag != b"LIST":
             continue
         kind = data[off:off + 4]
         if kind == b"hdrl":
+            stream_idx = -1
             for t2, o2, s2 in chunks(data, off + 4, off + size):
                 if t2 == b"LIST" and data[o2:o2 + 4] == b"strl":
+                    stream_idx += 1
+                    is_vids = False
                     for t3, o3, s3 in chunks(data, o2 + 4, o2 + s2):
-                        if t3 == b"strf":
+                        if t3 == b"strh":
+                            is_vids = data[o3:o3 + 4] == b"vids"
+                        elif (t3 == b"strf" and is_vids
+                              and vids_stream is None):
                             (_sz, w, h, _planes, bitcount) = struct.unpack_from(
                                 "<IiiHH", data, o3)
+                            vids_stream = stream_idx
         elif kind == b"movi":
+            if vids_stream is None:
+                raise ValueError("no video ('vids') stream in AVI header")
+            want = (b"%02ddb" % vids_stream, b"%02ddc" % vids_stream)
             for t2, o2, s2 in chunks(data, off + 4, off + size):
-                if t2 in (b"00db", b"00dc"):
+                if t2 in want:
                     frames.append((o2, s2))
     if w is None or not frames:
         raise ValueError("no video stream found")

@@ -72,6 +72,9 @@ class TokenizeFragments:
         t_starts = np.flatnonzero(tchange)
         # list columns straight from (values, offsets) — no per-term
         # Python slicing/tolist (was ~20% of the map stage)
+        if p_codes.size >= (1 << 31):  # int32 Arrow list offsets
+            raise ValueError(
+                "batch holds >= 2^31 posting runs; reduce batch_size")
         offs = pa.array(np.append(t_starts, p_codes.size).astype(np.int32))
         docids_arr = pa.ListArray.from_arrays(
             offs, pa.array(p_docids, type=pa.int64()))

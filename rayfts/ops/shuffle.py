@@ -44,6 +44,37 @@ from rayfts.ops.sample import splitmix64
 __all__ = ["shuffle_ranks", "write_shuffled"]
 
 
+def _hash_chunk(ids: np.ndarray, seed: int, shift: np.uint64):
+    h = splitmix64(ids.view(np.uint64), seed=seed)
+    return h, (h >> shift).astype(np.int64)
+
+
+def _chunk_offsets(ds, id_col: str, seed: int, chunk_bits: int):
+    """Phase 1 of the distributed prefix sum, shared by ranks and the
+    shuffled sink: per-chunk row counts -> sorted chunk ids + starting
+    ranks, broadcast once via ``ray.put``. Returns (shift, off_ref)."""
+    import ray
+
+    if not 1 <= chunk_bits <= 32:
+        raise ValueError(f"chunk_bits must be in [1, 32], got {chunk_bits}")
+    shift = np.uint64(64 - chunk_bits)
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _h, chunk = _hash_chunk(ids, seed, shift)
+        u, counts = np.unique(chunk, return_counts=True)
+        return pa.table({"chunk": pa.array(u, type=pa.int64()),
+                         "s": pa.array(counts, type=pa.int64())})
+
+    totals = (ds.select_columns([id_col])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby("chunk").sum("s").to_pandas()).sort_values("chunk")
+    chunks = totals["chunk"].to_numpy().astype(np.int64)
+    starts = np.concatenate(
+        ([0], np.cumsum(totals["sum(s)"].to_numpy().astype(np.int64))[:-1]))
+    return shift, ray.put((chunks, starts))
+
+
 def shuffle_ranks(
     ds,
     id_col: str = "doc_id",
@@ -58,34 +89,18 @@ def shuffle_ranks(
     ``chunk_bits`` so one chunk (~rows / 2^chunk_bits) fits a worker."""
     import ray
 
-    if not 1 <= chunk_bits <= 32:
-        raise ValueError(f"chunk_bits must be in [1, 32], got {chunk_bits}")
-    shift = np.uint64(64 - chunk_bits)
-
-    def _ids_h(b: pa.Table):
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(ids.view(np.uint64), seed=seed)
-        return ids, h, (h >> shift).astype(np.int64)
-
-    def partials(b: pa.Table) -> pa.Table:
-        _ids, _h, chunk = _ids_h(b)
-        u, counts = np.unique(chunk, return_counts=True)
-        return pa.table({"chunk": pa.array(u, type=pa.int64()),
-                         "s": pa.array(counts, type=pa.int64())})
-
-    totals = (ds.select_columns([id_col])
-              .map_batches(partials, batch_format="pyarrow")
-              .groupby("chunk").sum("s").to_pandas())
-    totals = totals.sort_values("chunk")
-    chunks = totals["chunk"].to_numpy().astype(np.int64)
-    starts = np.concatenate(
-        ([0], np.cumsum(totals["sum(s)"].to_numpy().astype(np.int64))[:-1]))
-    off_ref = ray.put((chunks, starts))
-
+    shift, off_ref = _chunk_offsets(ds, id_col, seed, chunk_bits)
     keep = list(keep_cols)
+    if keep:
+        sch = ds.schema()
+        all_types = dict(zip(sch.names, sch.types))
+        keep_types = {c: all_types[c] for c in keep}
+    else:
+        keep_types = {}
 
     def tag(b: pa.Table) -> pa.Table:
-        ids, h, chunk = _ids_h(b)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h, chunk = _hash_chunk(ids, seed, shift)
         cols = {
             id_col: pa.array(ids, type=pa.int64()),
             "__h": pa.array(h, type=pa.uint64()),
@@ -97,9 +112,11 @@ def shuffle_ranks(
 
     def place(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "chunk" not in g.column_names:
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             **{c: pa.array([]) for c in keep},
-                             "shuffle_rank": pa.array([], type=pa.int64())})
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                **{c: pa.array([], type=keep_types[c]) for c in keep},
+                "shuffle_rank": pa.array([], type=pa.int64()),
+            })
         ids = g[id_col].to_numpy(zero_copy_only=False)
         h = g["__h"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h))
@@ -140,6 +157,11 @@ def write_shuffled(
     exchange that assigns ranks; nothing corpus-sized is exchanged
     twice or held on the driver.
 
+    ``out_dir`` must be SHARED storage visible to every worker (the
+    same assumption as ``index_dir`` everywhere else in this package —
+    part files are written from inside Ray tasks, like the index's
+    segment and postings-bucket sinks).
+
     Returns a summary Dataset of (part_path, start_rank, rows).
     """
     import os
@@ -148,33 +170,15 @@ def write_shuffled(
 
     import ray
 
-    if not 1 <= chunk_bits <= 32:
-        raise ValueError(f"chunk_bits must be in [1, 32], got {chunk_bits}")
-    shift = np.uint64(64 - chunk_bits)
+    shift, off_ref = _chunk_offsets(ds, id_col, seed, chunk_bits)
     payload_cols = [c for c in ds.schema().names if c != id_col]
-
-    def partials(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        chunk = (splitmix64(ids.view(np.uint64), seed=seed) >> shift).astype(np.int64)
-        u, counts = np.unique(chunk, return_counts=True)
-        return pa.table({"chunk": pa.array(u, type=pa.int64()),
-                         "s": pa.array(counts, type=pa.int64())})
-
-    totals = (ds.select_columns([id_col])
-              .map_batches(partials, batch_format="pyarrow")
-              .groupby("chunk").sum("s").to_pandas()).sort_values("chunk")
-    chunks = totals["chunk"].to_numpy().astype(np.int64)
-    starts = np.concatenate(
-        ([0], np.cumsum(totals["sum(s)"].to_numpy().astype(np.int64))[:-1]))
-    off_ref = ray.put((chunks, starts))
     os.makedirs(out_dir, exist_ok=True)
 
     def tag(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(ids.view(np.uint64), seed=seed)
+        h, chunk = _hash_chunk(ids, seed, shift)
         return (b.append_column("__h", pa.array(h, type=pa.uint64()))
-                .append_column("chunk",
-                               pa.array((h >> shift).astype(np.int64))))
+                .append_column("chunk", pa.array(chunk)))
 
     def write_part(g: pa.Table) -> pa.Table:
         empty = pa.table({"part_path": pa.array([], type=pa.string()),
@@ -182,6 +186,7 @@ def write_shuffled(
                           "rows": pa.array([], type=pa.int64())})
         if g.num_rows == 0 or "chunk" not in g.column_names:
             return empty
+        os.makedirs(out_dir, exist_ok=True)  # worker-side (shared FS)
         ch_arr, st_arr = ray.get(off_ref)
         c = int(g["chunk"][0].as_py())
         base = int(st_arr[np.searchsorted(ch_arr, c)])

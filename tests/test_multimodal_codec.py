@@ -180,3 +180,43 @@ def test_video_frame_sums_stage_real_bytes(ray_session):
             cs = np.arange(3)[None, None, :]
             want = int(((xs * 3 + ys * 5 + cs * 7 + f * 11 + i) % 256).sum())
             assert got == want, (i, j)
+
+
+def test_avi_multi_stream_selects_vids():
+    """A non-video strl before the video stream must not confuse the
+    decoder: frames come from the 'vids' stream's chunk id only."""
+    import struct
+
+    from rayfts.ops.media_codec import decode_avi, encode_avi
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    avi = bytearray(encode_avi(frames))
+
+    # splice a fake AUDIO strl BEFORE the video strl inside hdrl and
+    # '01wb' junk chunks into movi, renumbering the video stream to 01
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    auds_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4,
+                            0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0, 0, 0, 0, 0)
+    auds_strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh)
+                      + chunk(b"strf", b"\x01\x00\x01\x00" * 4))
+    raw = bytes(avi)
+    # stream renumber: video chunks become 01db
+    raw = raw.replace(b"00db", b"01db")
+    i = raw.index(b"strl")  # first (video) strl body start
+    # insert the audio strl LIST right before the video one
+    lst_start = raw.rindex(b"LIST", 0, i)
+    patched = raw[:lst_start] + auds_strl + raw[lst_start:]
+    # grow the enclosing hdrl LIST and RIFF sizes
+    patched = bytearray(patched)
+    (riff_sz,) = struct.unpack_from("<I", patched, 4)
+    struct.pack_into("<I", patched, 4, riff_sz + len(auds_strl))
+    hdrl_at = bytes(patched).index(b"hdrl")
+    (hdrl_sz,) = struct.unpack_from("<I", patched, hdrl_at - 4)
+    struct.pack_into("<I", patched, hdrl_at - 4, hdrl_sz + len(auds_strl))
+    out = decode_avi(bytes(patched))
+    assert out.shape == frames.shape
+    assert (out == frames).all()
