@@ -783,6 +783,37 @@ def _substr_partials_stats(files) -> dict:
     return _reducer_histogram([r["count()"] for r in counts.take_all()])
 
 
+def _merge_shard_balance(index_dir: str, num_shards: int = 8) -> dict:
+    """Per-shard encoded-bytes histogram of the term-sharded merge plan
+    over ALL of an index's segments — the merge-side skew evidence: a
+    stop-word-heavy term region must land in its own shard instead of
+    skewing one merge worker (byte-weighted sample boundaries)."""
+    import numpy as np
+
+    from rayfts.index import manifest as mf
+    from rayfts.index.merge import _pa_lower_bound, plan_merge_shards
+    from rayfts.index.segment import SegmentReader
+
+    man = mf.read_manifest(index_dir)
+    readers = [SegmentReader(mf.segment_path(index_dir, s.segment_id),
+                             man.schema) for s in man.ordered_segments()]
+    plan = plan_merge_shards(readers, man.schema, num_shards)
+    sizes = []
+    for s in plan:
+        tot = 0
+        for r in readers:
+            d = r.term_dict(s["field"])
+            arr = d["terms_pa"]
+            lo = 0 if s["lo"] is None else _pa_lower_bound(arr, s["lo"])
+            hi = len(arr) if s["hi"] is None else _pa_lower_bound(arr, s["hi"])
+            tot += int(d["post_len"][lo:hi].astype(np.int64).sum()
+                       + d["pos_len"][lo:hi].astype(np.int64).clip(0).sum())
+        sizes.append(tot)
+    out = _reducer_histogram(sizes)
+    out["unit"] = "encoded_bytes_per_shard"
+    return out
+
+
 def run_skew(num_docs: int) -> dict:
     """Stop-word-heavy variant (30% of all tokens are 'the'): the build is
     doc-partitioned (zero-shuffle) so it must be skew-immune, and the
@@ -813,6 +844,7 @@ def run_skew(num_docs: int) -> dict:
                 key_cols=["repo", "path", "commit"], resume=False)
     shutil.rmtree(widx, ignore_errors=True)
     files_by_label: dict[str, list] = {}
+    merge_by_label: dict[str, dict] = {}
     for label, skew in (("uniform", False), ("skew", True)):
         corpus = generate_corpus(
             os.path.join(BENCH_ROOT, f"corpus-{label}-{num_docs}"),
@@ -827,6 +859,7 @@ def run_skew(num_docs: int) -> dict:
                     content_col="content", key_cols=["repo", "path", "commit"],
                     resume=False)
         out[f"build_{label}_sec"] = round(time.time() - t0, 3)
+        merge_by_label[label] = _merge_shard_balance(idx, num_shards=8)
         shutil.rmtree(idx, ignore_errors=True)
 
         t0 = time.time()
@@ -842,6 +875,8 @@ def run_skew(num_docs: int) -> dict:
         for salt in (1, 8):
             hist[f"term_shuffle_{label}_salt{salt}"] = (
                 _term_shuffle_reducer_sizes(files, salt))
+    for label, bal in merge_by_label.items():
+        hist[f"merge_shards_{label}"] = bal
     ngram_subset = int(os.environ.get("RAYFTS_SKEW_NGRAM_DOCS", "3000"))
     hist["ngram_skew_capped2048"] = _ngram_shuffle_stats(
         files_by_label["skew"], ngram_subset, 2048)
