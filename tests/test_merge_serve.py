@@ -543,3 +543,60 @@ def test_sharded_merge_cleans_stale_tmp(built, ray_session, tmp_path):
     seg = mf.segment_path(p, merged_segment_id(ids))
     assert os.path.isdir(seg)
     assert not [f for f in os.listdir(seg) if f.startswith("shard-")]
+
+
+def test_sharded_merge_with_facets_byte_identical(ray_session, tmp_path):
+    """Facet sidecars regenerate in the (sharding-independent) doc-order
+    step; a facet-bearing index must still stitch byte-identically and
+    serve identical facet counts after a sharded merge."""
+    import hashlib
+    import os
+
+    from rayfts.index.catalog import IndexCatalog
+    from rayfts.index.merge import (merge_segment_group,
+                                    merge_segment_group_sharded)
+    from rayfts.index.schema import FieldDef, IndexSchema
+
+    schema = IndexSchema([
+        FieldDef("body", "text", tokenizer="default", record="position"),
+        FieldDef("cat", "facet"),
+        FieldDef("id", "u64", indexed=False, stored=True, fast=True),
+    ])
+    langs = ["en", "de", "fr"]
+    docs = [{"body": f"alpha token{i} beta gamma", "id": i,
+             "cat": f"/top/{langs[i % 3]}"} for i in range(90)]
+
+    def build(root):
+        cat = IndexCatalog(root, auto_merge_min=0)
+        h = cat.create_index("fx", schema)
+        for j in range(0, 90, 30):  # 3 segments
+            h.add_documents(docs[j:j + 30])
+        return os.path.join(root, "fx"), h
+
+    p0, h0 = build(str(tmp_path / "a"))
+    p1, h1 = build(str(tmp_path / "b"))
+    man = mf.read_manifest(p0)
+    ids = [s.segment_id for s in man.ordered_segments()]
+    assert len(ids) == 3
+    before = h0.searcher().facet_counts("alpha", {"cat": [""]})
+
+    merge_segment_group(p0, man.schema.to_json(), ids)
+    merge_segment_group_sharded(p1, mf.read_manifest(p1).schema.to_json(),
+                                [s.segment_id for s in
+                                 mf.read_manifest(p1).ordered_segments()], 4)
+
+    def digests(p, sids):
+        seg = mf.segment_path(p, merged_segment_id(sids))
+        # segment.json carries lineage (the two builds have distinct
+        # source segment ids) — compare the seven DATA files
+        return {f: hashlib.sha256(
+            open(os.path.join(seg, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(seg)) if f != "segment.json"}
+
+    assert digests(p0, ids) == digests(
+        p1, [s.segment_id for s in mf.read_manifest(p1).ordered_segments()])
+    # swap manifests and compare facet counts end-to-end
+    from rayfts.index.merge import log_merge_index
+    log_merge_index(p0, min_merge=2, max_merge=4)
+    from rayfts.query.searcher import Searcher
+    assert Searcher(p0).facet_counts("alpha", {"cat": [""]}) == before
