@@ -4,15 +4,16 @@ stages.
 
 Each stage loads its decoder library once per actor in ``__init__``:
 with the library present (and ``fake=False``) the REAL kernel runs
-(PIL decode/resize, soundfile frames, av key frames). Image and audio
-stages additionally carry a REAL pure-stdlib codec path
+(PIL decode/resize, soundfile frames, av key frames). Image, audio AND
+video stages additionally carry a REAL pure-stdlib codec path
 (``rayfts.ops.media_codec``: PNG via zlib, WAV via the ``wave``
-module) used when the library is absent — so ``fake=False`` genuinely
-decodes bytes even in library-less environments like this one, and
-the driver hash-checks decoded dims + pixel/sample sums against SQL
-oracles. Only the video stage (no stdlib codec exists) falls back to
-``NotImplementedError`` (default) or the clearly-marked deterministic
-fake (``fake=True``). Real library branches are covered by
+module, uncompressed RIFF/AVI via struct) used when the library is
+absent — so ``fake=False`` genuinely decodes bytes even in
+library-less environments like this one, and the driver hash-checks
+decoded dims + pixel/sample/frame sums against SQL oracles. Only
+``VideoFrameSample`` (digest semantics, av-specific) retains the
+``NotImplementedError``/fake fallback; ``VideoFrameSums`` is the
+oracle-checkable stdlib path. Real library branches are covered by
 ``pytest.importorskip``-guarded tests that activate wherever the
 libraries exist.
 
