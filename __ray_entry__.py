@@ -17,6 +17,7 @@ here calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -1145,11 +1146,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_audio_decode"] = multimodal_audio_q
 
     def video_frames_q(sf):
+        """REAL video decode + frame digests: the fixture writes genuine
+        uncompressed RIFF/AVI bytes with closed-form pixels; the stage
+        decodes the container (stdlib codec) and emits the frame_digest
+        (sha256-of-hex) of each sampled frame's raw bytes, which the SQL
+        oracle reconstructs symbolically — a decode bug cannot
+        hash-match."""
         from rayfts.ops.multimodal import (VideoFrameSample, decode_pipeline,
-                                           synth_media_table)
+                                           synth_avi_table)
 
-        ds = ray.data.from_arrow(synth_media_table(32, kind="video"))
-        out = decode_pipeline(ds, VideoFrameSample, fake=True, n_frames=3)
+        ds = ray.data.from_arrow(synth_avi_table(32))
+        out = decode_pipeline(ds, VideoFrameSample, fake=False, n_frames=3)
         rows = sorted(out.select_columns(["media_id", "frame_digests"]).take_all(),
                       key=lambda r: r["media_id"])
         return pa.table({
@@ -1195,12 +1202,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["video_frame_sums"] = video_frame_sums_q
 
     # Run order: the driver walks this dict in insertion order and its
-    # budget can truncate the tail (round 3 checked exactly the first 50
-    # keys). Put the rows that have never had a driver correctness entry
-    # FIRST, then already-green rows cheapest-first, so any truncation
-    # drops only previously-verified expensive rows.
-    run_order = [
-        # never driver-checked before round 4 (all cheap)
+    # budget can truncate the tail (rounds 3 and 4 checked exactly the
+    # first 50 keys). Rotation rule (coded, not a hand sort): order rows
+    # by the round they were LAST driver-checked, ascending — never- or
+    # least-recently-checked rows lead, so every row's driver recency
+    # stays bounded across rounds. Ties break by _COST_ORDER below
+    # (cheap rows and shared-index reads grouped, heavy corpus passes
+    # last) so a truncation inside one recency class drops only the most
+    # expensive previously-verified rows.
+    _COST_ORDER = [
+        # cheap event/window/join + round-4 additions
         "prepare_corpus", "shuffle_ranks", "video_frame_sums",
         "sessionize", "sessionize_hot_safe", "asof_join_purchase_click",
         "asof_join_hot_safe", "range_join_signup_purchase",
@@ -1231,9 +1242,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup", "ngram_jaccard_pairs", "minhash_dedup_pairs",
         "dup_spans", "dup_span_stats", "corpus_clean", "term_postings",
     ]
-    assert set(run_order) == set(q), (
-        set(run_order) ^ set(q))  # keep the list exhaustive
+    assert set(_COST_ORDER) == set(q), (
+        set(_COST_ORDER) ^ set(q))  # keep the list exhaustive
+    recency = _driver_check_recency()
+    cost_rank = {k: i for i, k in enumerate(_COST_ORDER)}
+    run_order = sorted(q, key=lambda k: (recency.get(k, 0), cost_rank[k]))
     return {k: _retry_once_on_ray_flake(k, q[k]) for k in run_order}
+
+
+def _driver_check_recency() -> dict[str, int]:
+    """Last round each row appeared in a driver CORRECTNESS_r*.json.
+
+    Scanned from the repo root at call time so the rotation self-maintains:
+    after the round-N driver run lands CORRECTNESS_r0N.json, round N+1
+    automatically fronts whatever that file's 50-row budget left out."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recency: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        for key in data:
+            recency[key] = max(recency.get(key, 0), rnd)
+    return recency
 
 
 
@@ -2408,6 +2448,26 @@ px AS (
   FROM imgs, range(0, 8) tx(x), range(0, 8) ty(y), range(0, 3) tc(c))
 SELECT i AS media_id, 8 AS width, 8 AS height, CAST(SUM(v) AS BIGINT) AS pixel_sum
 FROM px GROUP BY 1 ORDER BY 1
+"""
+    sql["video_frame_sample"] = """
+WITH clips AS (
+  SELECT i, 4 + (i % 3) AS nf, 16 + (i % 5) AS w, 16 + ((i * 3) % 7) AS h
+  FROM range(0, 32) t(i)),
+sel AS (
+  SELECT i, w, h, j, least(j * greatest(1, nf // 3), nf - 1) AS f
+  FROM clips, range(0, 3) tj(j)),
+px AS (
+  SELECT s.i, s.j, x, y, c,
+         (x * 3 + y * 5 + c * 7 + s.f * 11 + s.i) % 256 AS v
+  FROM sel s, range(0, 21) tx(x), range(0, 23) ty(y), range(0, 3) tc(c)
+  WHERE x < s.w AND y < s.h),
+dig AS (
+  SELECT i, j,
+         substr(sha256(string_agg(printf('%02x', v), '' ORDER BY y, x, c)),
+                1, 16) AS digest
+  FROM px GROUP BY i, j)
+SELECT i AS media_id, string_agg(digest, ',' ORDER BY j) AS frames
+FROM dig GROUP BY i ORDER BY i
 """
     sql["video_frame_sums"] = """
 WITH clips AS (

@@ -10,10 +10,11 @@ video stages additionally carry a REAL pure-stdlib codec path
 module, uncompressed RIFF/AVI via struct) used when the library is
 absent — so ``fake=False`` genuinely decodes bytes even in
 library-less environments like this one, and the driver hash-checks
-decoded dims + pixel/sample/frame sums against SQL oracles. Only
-``VideoFrameSample`` (digest semantics, av-specific) retains the
-``NotImplementedError``/fake fallback; ``VideoFrameSums`` is the
-oracle-checkable stdlib path. Real library branches are covered by
+decoded dims + pixel/sample/frame sums against SQL oracles.
+``VideoFrameSample`` digests real stdlib-decoded AVI frames too (the
+``frame_digest`` hex convention keeps even digests SQL-checkable);
+``VideoFrameSums`` is the sums flavor. No stage requires the fake path
+in this environment. Real library branches are covered by
 ``pytest.importorskip``-guarded tests that activate wherever the
 libraries exist.
 
@@ -426,32 +427,59 @@ class DecodeAudio(_MediaStage):
         return self._out(batch, ns, srs, chs, sums)
 
 
+def frame_digest(frame_bytes: bytes) -> str:
+    """Digest convention for sampled video frames: sha256 of the
+    HEX-encoded raw frame bytes, truncated to 16 hex chars. Hex-encoding
+    first (instead of digesting the raw bytes) keeps the digest
+    SQL-checkable — DuckDB's ``sha256`` accepts only VARCHAR, and the
+    oracle reconstructs the same hex string with
+    ``string_agg(printf('%02x', v))`` — while still binding the digest
+    to every byte of the genuinely decoded frame."""
+    return hashlib.sha256(frame_bytes.hex().encode("ascii")).hexdigest()[:16]
+
+
 class VideoFrameSample(_MediaStage):
-    """payload -> n uniformly-spaced frame digests. Real path decodes key
-    frames with av; FAKE path digests payload windows."""
+    """payload -> n uniformly-spaced frame digests (``frame_digest``
+    convention). Real path decodes with av when present; the DEFAULT
+    library-less path decodes genuine uncompressed RIFF/AVI bytes with
+    the stdlib codec (``media_codec.decode_avi``) and digests real frame
+    bytes — same sampling convention as ``VideoFrameSums``. FAKE path
+    (explicit opt-in only) digests payload windows."""
 
     lib_name = "av"
+    has_stdlib_codec = True
 
     def __init__(self, n_frames: int = 4, **kw):
         super().__init__(**kw)
         self.n_frames = n_frames
 
+    def _digest_rows(self, decode):
+        def run(batch: pa.Table) -> pa.Table:
+            frames = []
+            for payload in batch["payload"].to_pylist():
+                arr = decode(payload)  # (n, h, w, 3) uint8
+                total = arr.shape[0]
+                step = max(1, total // self.n_frames)
+                frames.append([
+                    frame_digest(arr[min(i * step, total - 1)].tobytes())
+                    for i in range(self.n_frames)
+                ])
+            return self._finish(batch, {
+                "frame_digests": pa.array(frames, type=pa.list_(pa.string())),
+            })
+        return run
+
+    def _call_stdlib(self, batch: pa.Table) -> pa.Table:
+        from rayfts.ops.media_codec import decode_avi
+
+        return self._digest_rows(decode_avi)(batch)
+
     def _call_real(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - lib-gated
-        frames = []
-        for payload in batch["payload"].to_pylist():
+        def decode(payload):
             with self.lib.open(io.BytesIO(payload)) as container:
-                decoded = [f.to_ndarray().tobytes()
-                           for f in container.decode(video=0)]
-            if not decoded:
-                decoded = [b"\x00"]
-            step = max(1, len(decoded) // self.n_frames)
-            frames.append([
-                hashlib.sha256(decoded[min(i * step, len(decoded) - 1)]).hexdigest()[:16]
-                for i in range(self.n_frames)
-            ])
-        return self._finish(batch, {
-            "frame_digests": pa.array(frames, type=pa.list_(pa.string())),
-        })
+                return np.stack([f.to_ndarray(format="rgb24")
+                                 for f in container.decode(video=0)])
+        return self._digest_rows(decode)(batch)
 
     def _call_fake(self, batch: pa.Table) -> pa.Table:
         frames = []

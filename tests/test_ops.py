@@ -325,20 +325,32 @@ def test_multimodal_real_pil_branch(ray_session):
         assert im.size == (8, 8)
 
 
-def test_multimodal_fake_flag_required_without_libs():
-    """Stages WITHOUT a stdlib codec (video) must raise loudly on
-    fake=False when the decoder library is missing, instead of silently
-    running the stub. Image/audio stages now carry a real stdlib codec
-    path and legitimately accept fake=False (test_multimodal_codec.py)."""
-    from rayfts.ops.multimodal import VideoFrameSample
+def test_video_frame_sample_real_digests(ray_session):
+    """VideoFrameSample(fake=False) decodes genuine AVI bytes via the
+    stdlib codec and digests REAL frame bytes: each digest equals
+    frame_digest() of the closed-form fixture frame recomputed here —
+    no fake path remains on the default route."""
+    import ray.data
 
-    try:
-        import av  # noqa: F401
-        pytest.skip("av present; the no-lib branch is not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="av"):
-        VideoFrameSample(fake=False)
+    from rayfts.ops.multimodal import (VideoFrameSample, decode_pipeline,
+                                       frame_digest, synth_avi_table)
+
+    t = synth_avi_table(6)
+    out = decode_pipeline(ray.data.from_arrow(t), VideoFrameSample,
+                          fake=False, n_frames=3).take_all()
+    assert len(out) == 6
+    for r in out:
+        i = r["media_id"]
+        nf, w, h = 4 + i % 3, 16 + i % 5, 16 + (i * 3) % 7
+        step = max(1, nf // 3)
+        assert len(r["frame_digests"]) == 3
+        for j, got in enumerate(r["frame_digests"]):
+            f = min(j * step, nf - 1)
+            xs = np.arange(w)[None, :, None]
+            ys = np.arange(h)[:, None, None]
+            cs = np.arange(3)[None, None, :]
+            frame = ((xs * 3 + ys * 5 + cs * 7 + f * 11 + i) % 256).astype(np.uint8)
+            assert got == frame_digest(frame.tobytes()), (i, j)
 
 
 def test_ngram_jaccard_exact_pairs(ray_session):
