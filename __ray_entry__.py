@@ -61,6 +61,23 @@ def _oracle_schema() -> IndexSchema:
     ])
 
 
+def _oracle_stem_schema() -> IndexSchema:
+    """SQL-reproducible STEMMED config: en_stem analyzer (lowercase +
+    40-byte cap + Porter2, the reference's own tokenizer choice,
+    test/lib/fixtures.js:23) over exact fieldnorms. The oracle SQL maps
+    each token through the closed synthetic vocabulary's Porter2 stems
+    (31 distinct tokens corpus-wide at every sf) and computes BM25 over
+    the stemmed stream; dl is unchanged by stemming."""
+    return IndexSchema([
+        FieldDef("text", "text", indexed=True, record="position",
+                 tokenizer="en_stem", stored=True),
+        FieldDef("doc_id", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("n_chars", "u64", indexed=False, stored=True, fast=True),
+        FieldDef("lang", "text", indexed=False, stored=True),
+        FieldDef("source", "text", indexed=False, stored=True),
+    ])
+
+
 def _fts_schema() -> IndexSchema:
     """Production config: en_stem + positions + quantized fieldnorms
     (the reference's own analyzer choice, test/lib/fixtures.js:23)."""
@@ -84,8 +101,9 @@ def _docs_index(sf_dir: str, kind: str) -> Searcher:
     key = (sf_dir, kind)
     if key in _SEARCHERS:
         return _SEARCHERS[key]
-    schema = _oracle_schema() if kind == "oracle" else _fts_schema()
-    fieldnorm = "exact" if kind == "oracle" else "tantivy_like"
+    schema = {"oracle": _oracle_schema, "oracle_stem": _oracle_stem_schema,
+              "fts": _fts_schema}[kind]()
+    fieldnorm = "tantivy_like" if kind == "fts" else "exact"
     digest = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|{kind}|{FORMAT_VERSION}".encode()
     ).hexdigest()[:16]
@@ -195,6 +213,46 @@ sc_{_safe(term)} AS (
 
 def _safe(term: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in term)
+
+
+# The synthetic documents vocabulary is CLOSED (31 distinct tokens at
+# every sf — verified sf0.001/0.01/0.1), so the stemmed oracle can embed
+# the full Porter2 mapping. Computed at SQL-generation time from the
+# engine's stemmer, which is independently golden-tested against the
+# published Snowball vocabulary (tests/test_analysis.py); the oracle then
+# independently recomputes tokenization, dl, tf/df and the BM25 formula
+# over the stemmed stream.
+_SYNTH_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _stemmed_toks_cte() -> str:
+    """_TOKS_CTE with each token mapped through its Porter2 stem."""
+    from rayfts.analysis.porter2 import stem
+
+    cases = " ".join(
+        f"WHEN '{t}' THEN '{stem(t)}'" for t in _SYNTH_VOCAB if stem(t) != t
+    )
+    return _TOKS_CTE.replace(
+        "toks AS (SELECT doc_id, unnest(toks) AS term FROM tok_lists)",
+        "raw_toks AS (SELECT doc_id, unnest(toks) AS term FROM tok_lists),\n"
+        f"toks AS (SELECT doc_id, CASE term {cases} ELSE term END AS term FROM raw_toks)",
+    )
+
+
+def _topk_stemmed_term_sql(term: str, k: int = 10) -> str:
+    from rayfts.analysis.porter2 import stem
+
+    s = stem(term)
+    return (
+        f"WITH {_stemmed_toks_cte()}, {_bm25_term_sql(s)} "
+        f"SELECT CAST(row_number() OVER (ORDER BY round_even(score, 6) DESC, doc_id) AS BIGINT) AS rank, doc_id "
+        f"FROM sc_{_safe(s)} ORDER BY round_even(score, 6) DESC, doc_id LIMIT {k}"
+    )
 
 
 def _topk_term_sql(term: str, k: int = 10) -> str:
@@ -445,15 +503,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["embedding_topk"] = embedding_topk_q
 
-    # ---- rows-only (non-SQL-expressible) ------------------------------
     def stemmed_topk(sf):
-        s = _docs_index(sf, "fts")
-        hits = s.query_string(T_MID, limit=10)
-        return pa.table({
-            "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
-            "doc_id": pa.array([int(h["doc"]["doc_id"][0]) for h in hits], type=pa.int64()),
-            "score": pa.array([round(h["score"], 6) for h in hits], type=pa.float64()),
-        })
+        """BM25 over the STEMMED token stream (en_stem index): the query
+        string goes through the parser, which stems 'merge' -> 'merg';
+        tf/df are over stemmed terms. Hash-checkable: the SQL oracle maps
+        the closed synthetic vocabulary through the same Porter2 stems
+        (stemmer itself is golden-tested against published Snowball
+        vectors in tests/test_analysis.py) and re-runs the BM25 formula."""
+        s = _docs_index(sf, "oracle_stem")
+        return _topk_with_ids(s, T_MID)
 
     q["bm25_stemmed_topk"] = stemmed_topk
 
@@ -1909,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["term_topk"] = _topk_term_sql(T_MID)
     sql["stopword_topk"] = _topk_term_sql(T_HOT)
+    sql["bm25_stemmed_topk"] = _topk_stemmed_term_sql(T_MID)
     sql["or_topk"] = _topk_or_sql(T_MID, T_B)
     sql["and_docs"] = (
         f"WITH {_TOKS_CTE} "

@@ -427,6 +427,8 @@ def top_k_single_term(
     current k-th best score. Exact top-k candidates with exact scores;
     long stop-word lists typically decode only a fraction of their blocks.
     """
+    if k <= 0:  # top-0 is empty; the pruning loops assume k >= 1
+        return _EMPTY
     o = seg.term_ordinal(field, term)
     if o is None:
         return _EMPTY
@@ -487,6 +489,8 @@ def top_k_term_union(
     Returns exact top-k-correct (docids, scores) for all candidate docs
     touched (a superset of the true top-k, each with its exact score).
     """
+    if k <= 0:  # top-0 is empty; the threshold logic assumes k >= 1
+        return _EMPTY
     if len(pairs) == 1:
         return top_k_single_term(seg, stats, pairs[0][0], pairs[0][1], k)
     entries = []

@@ -545,6 +545,16 @@ def test_search_envelope_and_snippet_fuzz(idx):
     check_snip()
 
 
+def test_limit_zero_returns_empty(idx):
+    """limit=0 (and negative) is top-0 = no hits, not an IndexError in the
+    block-max collectors (regression: hypothesis found np.partition on an
+    empty accumulator when k=0)."""
+    s = idx.searcher()
+    for lim in (0, -1):
+        assert s.query_string("hello", limit=lim) == []
+        assert s.search({"query": {"term": {"body": "hello"}}, "limit": lim}).hits == 0
+
+
 def test_add_documents_fuzz(tmp_path_factory):
     """Ingest fuzz: arbitrary JSON-ish docs either commit (unknown fields
     dropped, reference tolerance) or raise ValueError/TypeError with a
