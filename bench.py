@@ -88,6 +88,34 @@ def _corpus_dir(num_docs: int) -> str:
     )
 
 
+def _ids_corpus_dir(num_docs: int) -> str:
+    """Cached copy of the code corpus with a deterministic int64 doc_id
+    (file_index * rows_per_part + row_offset) — the wide training-data
+    ops (line_dedup / dsir / pack / write_shuffled) key on a unique
+    integer id column. Built once with plain pyarrow, untimed."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = _corpus_dir(num_docs)
+    dst = os.path.join(BENCH_ROOT, f"corpus-{num_docs}-ids")
+    os.makedirs(dst, exist_ok=True)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    # stride = the largest part, so file_index * stride never collides
+    stride = max((pq.read_metadata(p).num_rows for p in parts), default=0)
+    for i, p in enumerate(parts):
+        out = os.path.join(dst, os.path.basename(p))
+        if os.path.exists(out):
+            continue
+        t = pq.read_table(p)
+        ids = pa.array(i * stride + np.arange(t.num_rows), type=pa.int64())
+        pq.write_table(t.append_column("doc_id", ids), out + ".tmp")
+        os.rename(out + ".tmp", out)
+    return dst
+
+
 def bench_code_build(
     num_docs: int, target_docs_per_segment: int | None = None
 ) -> tuple[float, int, str]:
@@ -182,17 +210,24 @@ def _bench_query_strings(n_queries: int) -> list[str]:
 
 
 def bench_sharded_serve(index_dir: str, n_queries: int = 2000,
-                        num_actors: int = 8, chunk: int = 250) -> float:
+                        num_actors: int = 8, chunk: int = 250,
+                        hot_replicas: int = 8) -> float:
     """Segment-sharded serving (VERDICT r2 #5): the UNMERGED many-segment
     index split across a SearchService actor pool, the 2000-query set
     pushed through the batched two-fan-out ``search_many`` path in
     driver-side chunks. Returns queries/sec — compare against the merged
     single-searcher ``batch_search`` QPS to quantify when sharded serving
-    wins (many small segments, no compaction budget)."""
+    wins (many small segments, no compaction budget).
+
+    Since round 5 the service runs with a HOT-TERM TIER (VERDICT r4 #4):
+    queries whose routing terms reach most shards are answered by one
+    cached full-replica evaluation instead of an all-shard fan-out; pass
+    ``hot_replicas=0`` to measure the pure routed-sharded path."""
     from rayfts.query.serve import SearchService
 
     qs = _bench_query_strings(n_queries)
-    pool = SearchService(index_dir, num_actors=num_actors)
+    pool = SearchService(index_dir, num_actors=num_actors,
+                         hot_replicas=hot_replicas)
     pool.search_many(qs[:8], limit=10)  # warm per-actor caches
     t0 = time.time()
     n_hits = 0
@@ -896,9 +931,110 @@ def run_skew(num_docs: int) -> dict:
     }
 
 
+def run_capstone(num_docs: int) -> dict:
+    """The full training-data assembly at 10x (VERDICT r4 #6): prepare
+    (repetition gate -> line dedup -> decontaminate -> exact dedup) ->
+    DSIR top-half selection -> broadcast semi-join -> sequence packing ->
+    resumable shuffled write, over the ``num_docs`` code corpus — the
+    ``tests/test_training_run.py`` chain at scale. One Ray session;
+    reports per-stage walls, end-to-end docs/s and PEAK DRIVER RSS (the
+    chain must never materialize the corpus driver-side)."""
+    import glob
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from rayfts.ops.dsir import dsir_select
+    from rayfts.ops.pack import pack_documents
+    from rayfts.ops.prep import prepare_corpus
+    from rayfts.ops.shuffle import write_shuffled
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    corpus_dir = _ids_corpus_dir(num_docs)
+    from rayfts.corpus import generate_corpus
+
+    # held-out "benchmark" corpus for decontamination (different seed)
+    bench_dir = generate_corpus(
+        os.path.join(BENCH_ROOT, "corpus-capstone-bench-2000"), 2000, seed=7)
+
+    def corpus():
+        return ray.data.read_parquet(
+            sorted(glob.glob(os.path.join(corpus_dir, "part-*.parquet"))))
+
+    bench_ds = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(bench_dir, "part-*.parquet"))))
+
+    stages: dict[str, float] = {}
+    t_all = time.time()
+
+    t0 = time.time()
+    prepared = prepare_corpus(corpus(), bench_ds, col="content",
+                              id_col="doc_id")
+    n_prepared = prepared.count()
+    stages["prepare_corpus"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    target = corpus().filter(expr="lang == 'py'")
+    n_sel = max(10, n_prepared // 2)
+    sel = dsir_select(prepared, target, n_sel, col="content")
+    ids_sorted = np.sort(np.asarray(
+        [r["doc_id"] for r in sel.select_columns(["doc_id"]).take_all()],
+        dtype=np.int64))
+    stages["dsir_select"] = round(time.time() - t0, 2)
+
+    ref = ray.put(ids_sorted)
+
+    def pick(b: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        vals = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(wanted, vals), 0, wanted.size - 1)
+        return b.filter(pa.array(wanted[pos] == vals))
+
+    t0 = time.time()
+    kept = prepared.map_batches(pick, batch_format="pyarrow")
+    n_packed = pack_documents(kept, col="content", budget=2048).count()
+    stages["pack_documents"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out_dir = _fresh_dir("capstone-shuffled")
+    write_shuffled(prepared.map_batches(pick, batch_format="pyarrow"),
+                   out_dir, seed=1)
+    n_parts = len(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    stages["write_shuffled"] = round(time.time() - t0, 2)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(time.time() - t_all, 2)
+    peak_rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                        / 1024.0, 1)
+    return {
+        "metric": "capstone training-data assembly wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {f"capstone:{k}": v for k, v in stages.items()},
+        "sf": f"synthetic code corpus, {num_docs} docs",
+        "num_cpus": num_cpus,
+        "num_docs": num_docs,
+        "n_prepared": int(n_prepared),
+        "n_selected": int(ids_sorted.size),
+        "n_packed": int(n_packed),
+        "shuffled_parts": n_parts,
+        "docs_per_sec_end_to_end": round(num_docs / total, 1),
+        "peak_driver_rss_mb": peak_rss_mb,
+        "vm_burn_1proc_sec": vm_calibration(),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--capstone", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--_worker", type=int, default=0, help=argparse.SUPPRESS)
     ap.add_argument("--docs", type=int, default=SCALING_DOCS)
@@ -910,6 +1046,9 @@ def main() -> None:
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.docs)))
+        return
+    if args.capstone:
+        print(json.dumps(run_capstone(args.docs)))
         return
     if args.skew:
         print(json.dumps(run_skew(int(os.environ.get("RAYFTS_SKEW_DOCS", "120000")))))

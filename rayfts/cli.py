@@ -114,7 +114,8 @@ def cmd_serve_query(args) -> int:
     _ensure_ray()
     from rayfts.query.serve import SearchService
 
-    svc = SearchService(args.index, num_actors=args.actors)
+    svc = SearchService(args.index, num_actors=args.actors,
+                        hot_replicas=getattr(args, "hot_replicas", 0))
     for score, gid, doc in svc.search(args.query, limit=args.limit, fetch=True):
         print(json.dumps({"score": round(score, 6), "docid": int(gid), "doc": doc}))
     svc.shutdown()
@@ -662,6 +663,10 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--query", required=True)
     sq.add_argument("--limit", type=int, default=10)
     sq.add_argument("--actors", type=int, default=4)
+    sq.add_argument("--hot-replicas", type=int, default=0,
+                    help="hot-term tier size: queries routing cannot "
+                         "confine to <= half the shards are answered by "
+                         "one cached full-replica evaluation")
     sq.set_defaults(fn=cmd_serve_query)
 
     bs = sub.add_parser("batch-search", help="bulk query evaluation over a query file")

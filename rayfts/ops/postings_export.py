@@ -28,7 +28,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from rayfts.analysis.analyzer import Analyzer
@@ -240,6 +239,9 @@ def build_term_postings(
     )
 
     def tag(b: pa.Table) -> pa.Table:
+        import pandas as pd  # only the tag stage hashes via pandas;
+        # reducer workers (_assemble_bucket) stay Arrow/numpy-only
+
         h = pd.util.hash_array(b["term"].to_numpy(zero_copy_only=False))
         part = (h % num_buckets).astype(np.int32)
         b = b.append_column("part", pa.array(part))
@@ -260,10 +262,11 @@ def build_term_postings(
 
 def read_posting(out_dir: str, term: str) -> tuple[np.ndarray, np.ndarray]:
     """Point lookup of one term's global posting list (docids, tfs)."""
+    import json
+
+    import pandas as pd
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-
-    import json
 
     with open(os.path.join(out_dir, "_meta.json")) as f:
         nb = json.load(f)["num_buckets"]

@@ -32,10 +32,16 @@ logger = logging.getLogger(__name__)
 
 @ray.remote
 class QueryActor:
-    def __init__(self, index_dir: str, segment_ids: list[str]):
+    def __init__(self, index_dir: str, segment_ids: list[str],
+                 cache_size: int = 0):
         self.index_dir = index_dir
         self.segment_ids = segment_ids
         self.searcher = Searcher(index_dir, segment_ids=segment_ids)
+        # bounded result cache (hot-tier replicas only): head queries
+        # repeat by definition, and results are immutable per manifest
+        # version — refresh() drops the cache with the searcher
+        self.cache_size = int(cache_size)
+        self._cache: dict = {}
 
     def ready(self) -> bool:
         return True
@@ -44,7 +50,30 @@ class QueryActor:
         """Adopt a new manifest version (and possibly more segments)."""
         self.segment_ids = segment_ids
         self.searcher = Searcher(self.index_dir, segment_ids=segment_ids)
+        self._cache = {}
         return self.searcher.manifest.version
+
+    def _cached_top_k(self, query, limit: int) -> list[tuple[float, int]]:
+        """Top-k over THIS actor's (full, for tier replicas) segment set
+        with native searcher-level stats, memoized per (query, limit)."""
+        key = (repr(query), limit)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        out = [(h.score, h.doc_id) for h in self.searcher.top_k(query, limit)]
+        if self.cache_size > 0:
+            if len(self._cache) >= self.cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = out
+        return out
+
+    def top_k_many_local(self, queries: list, limit: int) -> list[list[tuple[float, int]]]:
+        """Hot-tier entry: each query answered entirely by this replica
+        (its segment set is the whole index), through the result cache."""
+        return [self._cached_top_k(q, limit) for q in queries]
+
+    def cache_stats(self) -> int:
+        return len(self._cache)
 
     def partial_df(self, pairs: list[tuple[str, str]]) -> dict:
         """Doc freqs over THIS actor's segments (summed service-side)."""
@@ -101,9 +130,29 @@ class QueryActor:
 class SearchService:
     """Fan-out/merge client. ``num_actors`` actors each own a contiguous
     slice of the ordered segment list (contiguity keeps global-docid
-    ranges disjoint per actor, so doc fetch routes without broadcast)."""
+    ranges disjoint per actor, so doc fetch routes without broadcast).
 
-    def __init__(self, index_dir: str, num_actors: int = 4):
+    Hot-term tier (``hot_replicas`` > 0): head terms live in EVERY doc
+    shard, so term-dictionary routing cannot prune them and a hot query
+    used to pay per-shard evaluation on all N actors (N x the per-query
+    fixed cost, with weaker local WAND thresholds). Queries whose
+    routing terms reach more than half the shards are instead sent —
+    round-robin, one evaluation each — to a tier of replica actors with
+    native searcher-level stats, behind a per-replica result cache
+    (head queries repeat by definition; results are immutable per
+    manifest version). Scores are bit-identical to the sharded path,
+    which uses the same summed global df.
+
+    Scale note: on one box the tier replicas mmap the same index files
+    (page cache shared — replication is free). On a 100-TB cluster the
+    tier is provisioned as replicas of the HEAD-PRUNED index — the head
+    terms' posting lists plus the fieldnorm column, small because head
+    terms are few (Zipf) — serving hot-only queries; hot+rare
+    disjunctions fall back to the routed all-shard fan-out, which the
+    rare term's high idf keeps rare in practice."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4,
+                 hot_replicas: int = 0, hot_cache_size: int = 4096):
         self.index_dir = index_dir
         manifest = read_manifest(index_dir)
         ordered = [s.segment_id for s in manifest.ordered_segments()]
@@ -112,17 +161,35 @@ class SearchService:
         self.actors = [
             QueryActor.remote(index_dir, shard) for shard in self.shards
         ]
+        self.hot_actors = [
+            QueryActor.remote(index_dir, list(ordered), cache_size=hot_cache_size)
+            for _ in range(hot_replicas)
+        ]
+        self._hot_rr = 0  # round-robin cursor over the tier
         # a segment-less local searcher: manifest + parser only, used to
         # resolve query strings and to collect the scored-term pairs
         self._resolver = Searcher(index_dir, segment_ids=[])
-        ray.get([a.ready.remote() for a in self.actors])
+        ray.get([a.ready.remote() for a in self.actors + self.hot_actors])
 
     def refresh(self) -> None:
         manifest = read_manifest(self.index_dir)
         ordered = [s.segment_id for s in manifest.ordered_segments()]
         shards = [list(x) for x in np.array_split(ordered, len(self.actors))]
-        ray.get([a.refresh.remote(s) for a, s in zip(self.actors, shards)])
+        ray.get([a.refresh.remote(s) for a, s in zip(self.actors, shards)]
+                + [a.refresh.remote(list(ordered)) for a in self.hot_actors])
         self.shards = shards
+
+    def _route_live(self, need, parts_df) -> list[int]:
+        """Shard indices that can possibly match (term-dictionary
+        routing); ``need is None`` means unroutable (evaluate everywhere)."""
+        return [ai for ai in range(len(self.actors))
+                if need is None
+                or any(parts_df[ai].get(p, 0) > 0 for p in need)]
+
+    def _is_hot(self, live: list[int]) -> bool:
+        """A query is tier-eligible when routing cannot confine it to at
+        most half the shards — the signature of head-term traffic."""
+        return bool(self.hot_actors) and len(live) > max(1, len(self.actors) // 2)
 
     def search(self, query, limit: int = 10, fetch: bool = False):
         """Global top-k in two fan-outs: (1) partial df per actor -> summed
@@ -139,9 +206,16 @@ class SearchService:
                 df[k] = df.get(k, 0) + v
         # term-dictionary routing: skip shards that provably cannot match
         need = routing_terms(resolved)
-        live = [ai for ai in range(len(self.actors))
-                if need is None
-                or any(parts_df[ai].get(p, 0) > 0 for p in need)]
+        live = self._route_live(need, parts_df)
+        if self._is_hot(live):
+            # hot tier: one full-index evaluation on one replica
+            ha = self.hot_actors[self._hot_rr % len(self.hot_actors)]
+            self._hot_rr += 1
+            hits = ray.get(ha.top_k_many_local.remote([resolved], limit))[0]
+            if not fetch:
+                return hits
+            docs = ray.get(ha.fetch_docs.remote([g for _s, g in hits]))
+            return [(s, g, docs.get(g)) for s, g in hits]
         parts = ray.get([self.actors[ai].top_k.remote(resolved, limit, df)
                          for ai in live])
         merged = sorted(
@@ -182,23 +256,44 @@ class SearchService:
             for k, v in part.items():
                 df[k] = df.get(k, 0) + v
         routes: list[list[int]] = [[] for _ in self.actors]
+        hot_routes: list[list[int]] = [[] for _ in self.hot_actors]
+        per_query: list[list[tuple[float, int]]] = [[] for _ in queries]
+        final: list[bool] = [False] * len(queries)  # tier results are exact
         for qi, r in enumerate(resolved):
             need = routing_terms(r)
-            for ai, part in enumerate(parts_df):
-                if need is None or any(part.get(p, 0) > 0 for p in need):
+            live = self._route_live(need, parts_df)
+            if self._is_hot(live):
+                hot_routes[self._hot_rr % len(self.hot_actors)].append(qi)
+                self._hot_rr += 1
+                final[qi] = True
+            else:
+                for ai in live:
                     routes[ai].append(qi)
-        live = [ai for ai, idx in enumerate(routes) if idx]
-        parts = ray.get([
+        live_shards = [ai for ai, idx in enumerate(routes) if idx]
+        refs = [
             self.actors[ai].top_k_many.remote(
                 [resolved[i] for i in routes[ai]], limit, df)
-            for ai in live
-        ])
-        per_query: list[list[tuple[float, int]]] = [[] for _ in queries]
-        for ai, part in zip(live, parts):
+            for ai in live_shards
+        ]
+        hot_live = [hi for hi, idx in enumerate(hot_routes) if idx]
+        hot_refs = [
+            self.hot_actors[hi].top_k_many_local.remote(
+                [resolved[i] for i in hot_routes[hi]], limit)
+            for hi in hot_live
+        ]
+        parts = ray.get(refs)
+        hot_parts = ray.get(hot_refs)
+        for ai, part in zip(live_shards, parts):
             for qi, hits in zip(routes[ai], part):
                 per_query[qi].extend(hits)
+        for hi, part in zip(hot_live, hot_parts):
+            for qi, hits in zip(hot_routes[hi], part):
+                per_query[qi] = hits
         out = []
-        for hits in per_query:
+        for qi, hits in enumerate(per_query):
+            if final[qi]:
+                out.append(hits)
+                continue
             merged = sorted((-s, g) for s, g in hits)[:limit]
             out.append([(-ns, g) for ns, g in merged])
         return out
@@ -225,9 +320,10 @@ class SearchService:
         return out
 
     def shutdown(self) -> None:
-        for a in self.actors:
+        for a in self.actors + self.hot_actors:
             ray.kill(a)
         self.actors = []
+        self.hot_actors = []
 
 
 class BatchSearchStage:

@@ -600,3 +600,42 @@ def test_sharded_merge_with_facets_byte_identical(ray_session, tmp_path):
     log_merge_index(p0, min_merge=2, max_merge=4)
     from rayfts.query.searcher import Searcher
     assert Searcher(p0).facet_counts("alpha", {"cat": [""]}) == before
+
+
+def test_hot_tier_parity_and_cache(built, ray_session):
+    """Hot-term tier: queries whose routing terms reach most shards are
+    answered by one full-replica evaluation — results must be identical
+    to the routed sharded path AND to a local searcher, including on
+    cache hits, single-query fetch, and after refresh()."""
+    import ray as _ray
+
+    from rayfts.query.serve import SearchService
+
+    local = Searcher(built)
+    tiered = SearchService(built, num_actors=3, hot_replicas=2)
+    plain = SearchService(built, num_actors=3)
+    try:
+        mixed = QUERIES + ["the merge", "the", "zzz_not_there"]
+        want = {q: [(round(h.score, 12), h.doc_id) for h in local.top_k(q, 10)]
+                for q in mixed}
+        # twice: the second pass is answered from the replica result cache
+        for _pass in range(2):
+            got_tier = tiered.search_many(mixed, limit=10)
+            got_plain = plain.search_many(mixed, limit=10)
+            for q, gt, gp in zip(mixed, got_tier, got_plain):
+                assert [(round(s, 12), g) for s, g in gt] == want[q], q
+                assert [(round(s, 12), g) for s, g in gp] == want[q], q
+        # the hot term really went to the tier (cache populated somewhere)
+        sizes = _ray.get([a.cache_stats.remote() for a in tiered.hot_actors])
+        assert sum(sizes) > 0
+        # single-query tier path with stored-doc fetch
+        hits = tiered.search("the", limit=3, fetch=True)
+        assert len(hits) == 3 and all(doc and "doc_id" in doc for _s, _g, doc in hits)
+        # refresh drops caches and keeps parity
+        tiered.refresh()
+        assert _ray.get([a.cache_stats.remote() for a in tiered.hot_actors]) == [0, 0]
+        got = tiered.search_many(["the"], limit=10)[0]
+        assert [(round(s, 12), g) for s, g in got] == want["the"]
+    finally:
+        tiered.shutdown()
+        plain.shutdown()
