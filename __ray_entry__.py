@@ -550,6 +550,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["batch_search"] = batch_search_q
 
+    def sharded_search_tier_q(sf):
+        """The distributed SearchService with the round-5 HOT-TERM TIER
+        under the driver's correctness gate: the same query set as
+        batch_search through search_many over a sharded actor pool plus
+        2 cached full-replica hot actors (every query's terms live in
+        most shards, so all three route to the tier); ranks re-keyed on
+        (score desc, stored doc_id) against the same SQL oracle."""
+        from rayfts.query.serve import SearchService
+
+        s = _docs_index(sf, "oracle")
+        queries = [T_MID, T_HOT, f"{T_MID} {T_B}"]
+        svc = SearchService(s.index_dir, num_actors=3, hot_replicas=2)
+        try:
+            # over-fetch 10x (see batch_search_q): re-ranking at 6dp needs
+            # every doc whose rounded score ties the cutoff
+            per_q = svc.search_many(queries, limit=50)
+        finally:
+            svc.shutdown()
+        out_rows = []
+        for qs, hits in zip(queries, per_q):
+            gids = np.array([g for _s, g in hits], dtype=np.int64)
+            stored = _stored_doc_ids(s, gids)
+            recs = sorted(
+                ((round(sc, 6), int(st)) for (sc, _g), st in zip(hits, stored)),
+                key=lambda r: (-r[0], r[1]))
+            for rank, (sc, did) in enumerate(recs[:5], 1):
+                out_rows.append((qs, rank, did, sc))
+        out_rows.sort(key=lambda r: (r[0], r[1]))
+        return pa.table({
+            "query": pa.array([r[0] for r in out_rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "doc_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "score": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        })
+
+    q["sharded_search_tier"] = sharded_search_tier_q
+
     def snippets_q(sf):
         s = _docs_index(sf, "fts")
         hits = s.query_string(T_MID, limit=5, snippet_field="text")
@@ -1294,7 +1331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "must_not_docs", "phrase_docs", "range_term_docs",
         "range_numeric_docs", "regex_docs", "fuzzy_docs", "count_all",
         "term_count", "facet_lang_counts", "sort_by_fast_field",
-        "batch_search", "bm25_stemmed_topk", "snippets",
+        "batch_search", "sharded_search_tier", "bm25_stemmed_topk",
+        "snippets",
         # heavy corpus passes last
         "term_stats_top50", "lm_scores", "exact_dedup_kept",
         "simhash_near_dup", "ngram_jaccard_pairs", "minhash_dedup_pairs",
@@ -2433,6 +2471,9 @@ WHERE NOT (n_dup_lines > 0.30 * n_lines
 ORDER BY doc_id
 """
     sql["batch_search"] = _batch_search_sql(limit=5)
+    # same workload through the sharded service + hot-term tier: the
+    # distributed path must reproduce the identical per-query top-5
+    sql["sharded_search_tier"] = _batch_search_sql(limit=5)
     # the hot-safe two-phase plans must be bit-identical to the plain
     # plans, so they share the same oracles
     sql["sessionize_hot_safe"] = sql["sessionize"]

@@ -1004,8 +1004,9 @@ def run_capstone(num_docs: int) -> dict:
 
     t0 = time.time()
     out_dir = _fresh_dir("capstone-shuffled")
+    # the returned summary Dataset is lazy; count() drives the writes
     write_shuffled(prepared.map_batches(pick, batch_format="pyarrow"),
-                   out_dir, seed=1)
+                   out_dir, seed=1).count()
     n_parts = len(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     stages["write_shuffled"] = round(time.time() - t0, 2)
     shutil.rmtree(out_dir, ignore_errors=True)

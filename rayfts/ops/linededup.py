@@ -168,10 +168,14 @@ def line_dedup(
         np.cumsum(kept_counts, out=offsets[1:])
         kept_list = pa.ListArray.from_arrays(
             pa.array(offsets), raw.filter(pa.array(keep)))
-        new_text = pc.binary_join(kept_list, "\n")
+        # the separator must match the value type: binary_join has no
+        # (list<large_string>, string) kernel, and big text columns are
+        # legitimately large_string at scale
+        sep = pa.scalar("\n", type=kept_list.type.value_type)
+        new_text = pc.binary_join(kept_list, sep)
         removed = counts - kept_counts
         out = batch.drop_columns([col]).append_column(
-            col, new_text.cast(pa.string()))
+            col, new_text.cast(arr.type))
         return out.append_column(
             "n_removed_lines", pa.array(removed, type=pa.int64()))
 

@@ -73,3 +73,39 @@ def test_end_to_end_training_data_run(ray_session, tmp_path):
     # the shuffled order is a permutation, not id order
     ids_in_file_order = cat["doc_id"].to_pylist()
     assert ids_in_file_order != sorted(ids_in_file_order)
+
+
+def test_chain_over_large_string_column(ray_session, tmp_path):
+    """Big text columns are legitimately ``large_string`` at scale (Arrow
+    promotes >2 GiB string blocks); every op in the chain must accept
+    them. Regression: line_dedup's rewrite used a plain-string join
+    separator, and binary_join has no (list<large_string>, string)
+    kernel."""
+    import pyarrow.compute as pc
+
+    from rayfts.ops.dsir import dsir_select
+    from rayfts.ops.pack import pack_documents
+    from rayfts.ops.prep import prepare_corpus
+    from rayfts.ops.shuffle import write_shuffled
+
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    t = t.set_column(t.column_names.index("text"), "text",
+                     pc.cast(t["text"], pa.large_string()))
+    docs = ray.data.from_arrow(t)
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10**9], type=pa.int64()),
+        "text": pa.array(["held out benchmark sentence nothing shares"],
+                         type=pa.large_string()),
+    }))
+    prepared = prepare_corpus(docs, bench)
+    n = prepared.count()
+    assert 0 < n <= t.num_rows
+    target = docs.filter(expr="lang == 'en'")
+    sel = dsir_select(prepared, target, max(10, n // 2))
+    assert sel.count() == min(max(10, n // 2), n)
+    assert pack_documents(prepared, budget=512).count() == n
+    out = str(tmp_path / "ls-shuffled")
+    write_shuffled(prepared, out, seed=1, chunk_bits=3).take_all()
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert sum(pq.read_metadata(f).num_rows for f in files) == n
