@@ -899,7 +899,8 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--input", nargs="+", required=True)
     sr.add_argument("--id-col", default="doc_id")
     sr.add_argument("--seed", type=int, default=42)
-    sr.add_argument("--chunk-bits", type=int, default=12)
+    sr.add_argument("--chunk-bits", type=int, default=None,
+                    help="pin chunk granularity (default: auto-size)")
     sr.add_argument("--out", required=True)
     sr.set_defaults(fn=cmd_shuffle_ranks)
 

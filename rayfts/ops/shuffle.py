@@ -49,15 +49,29 @@ def _hash_chunk(ids: np.ndarray, seed: int, shift: np.uint64):
     return h, (h >> shift).astype(np.int64)
 
 
-def _chunk_offsets(ds, id_col: str, seed: int, chunk_bits: int):
+_AUTO_FINE_BITS = 20
+
+
+def _chunk_offsets(ds, id_col: str, seed: int, chunk_bits: int | None,
+                   target_chunk_rows: int = 1 << 16):
     """Phase 1 of the distributed prefix sum, shared by ranks and the
     shuffled sink: per-chunk row counts -> sorted chunk ids + starting
-    ranks, broadcast once via ``ray.put``. Returns (shift, off_ref)."""
+    ranks, broadcast once via ``ray.put``. Returns (shift, off_ref).
+
+    ``chunk_bits=None`` AUTO-SIZES the chunking: the count pass runs at
+    a fine granularity (2^20 chunks), then the driver coarsens adjacent
+    fine chunks (coarse id = top bits of fine id, so order alignment is
+    preserved) until a chunk holds ~``target_chunk_rows`` rows. One
+    fixed ``chunk_bits`` cannot fit both a 1 M-row test corpus and a
+    100 TB run — too-fine chunking drowns in per-file/per-group
+    overhead, too-coarse chunking overflows a worker's heap."""
     import ray
 
-    if not 1 <= chunk_bits <= 32:
-        raise ValueError(f"chunk_bits must be in [1, 32], got {chunk_bits}")
-    shift = np.uint64(64 - chunk_bits)
+    auto = chunk_bits is None
+    fine_bits = _AUTO_FINE_BITS if auto else chunk_bits
+    if not 1 <= fine_bits <= 32:
+        raise ValueError(f"chunk_bits must be in [1, 32], got {fine_bits}")
+    shift = np.uint64(64 - fine_bits)
 
     def partials(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -70,8 +84,18 @@ def _chunk_offsets(ds, id_col: str, seed: int, chunk_bits: int):
               .map_batches(partials, batch_format="pyarrow")
               .groupby("chunk").sum("s").to_pandas()).sort_values("chunk")
     chunks = totals["chunk"].to_numpy().astype(np.int64)
-    starts = np.concatenate(
-        ([0], np.cumsum(totals["sum(s)"].to_numpy().astype(np.int64))[:-1]))
+    counts = totals["sum(s)"].to_numpy().astype(np.int64)
+    if auto:
+        total = int(counts.sum())
+        coarse_bits = max(1, min(fine_bits, int(np.ceil(np.log2(
+            max(2.0, total / max(1, target_chunk_rows)))))))
+        drop = fine_bits - coarse_bits
+        coarse = chunks >> drop
+        first = np.concatenate(([True], coarse[1:] != coarse[:-1]))
+        chunks = coarse[first]
+        counts = np.add.reduceat(counts, np.flatnonzero(first))
+        shift = np.uint64(64 - coarse_bits)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     return shift, ray.put((chunks, starts))
 
 
@@ -79,14 +103,16 @@ def shuffle_ranks(
     ds,
     id_col: str = "doc_id",
     seed: int = 42,
-    chunk_bits: int = 12,
+    chunk_bits: int | None = None,
     keep_cols: tuple[str, ...] = (),
 ):
     """Lazy Dataset of ``(id_col, *keep_cols, shuffle_rank)``: the row's
     position in the seeded permutation ``order by (splitmix64(id ^
     seed), id)``. ``id_col`` must be integer; collisions of the 64-bit
-    hash are broken by id, so ranks are always a permutation. Raise
-    ``chunk_bits`` so one chunk (~rows / 2^chunk_bits) fits a worker."""
+    hash are broken by id, so ranks are always a permutation. The
+    default ``chunk_bits=None`` sizes chunks to ~64 Ki rows from the
+    phase-1 counts; pass an explicit value to pin the granularity (the
+    PERMUTATION itself never depends on it)."""
     import ray
 
     shift, off_ref = _chunk_offsets(ds, id_col, seed, chunk_bits)
@@ -142,7 +168,7 @@ def write_shuffled(
     out_dir: str,
     id_col: str = "doc_id",
     seed: int = 42,
-    chunk_bits: int = 12,
+    chunk_bits: int | None = None,
     resume: bool = True,
 ):
     """Materialize the corpus in seeded-shuffled order as RESUMABLE
@@ -152,7 +178,8 @@ def write_shuffled(
     reading the files in name order replays the exact global
     permutation. Files commit atomically (tmp+rename); a re-run skips
     committed parts (the permutation is a pure function of (ids, seed),
-    so a resumed run reproduces identical files). This is the one
+    and the default auto chunking is a pure function of (ids, seed,
+    total rows), so a resumed run reproduces identical files). This is the one
     shuffle that must move the payload — it rides the SAME single
     exchange that assigns ranks; nothing corpus-sized is exchanged
     twice or held on the driver.

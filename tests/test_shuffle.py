@@ -94,3 +94,32 @@ def test_write_shuffled_replays_permutation_and_resumes(ray_session, tmp_path):
     os.unlink(victim)
     write_shuffled(ds, out, seed=9, chunk_bits=4).take_all()
     assert open(victim, "rb").read() == orig
+
+
+def test_auto_chunking_sizes_parts_and_keeps_the_permutation(
+        ray_session, tmp_path):
+    """chunk_bits=None coarsens the fine count pass to ~target rows per
+    chunk: same permutation as any pinned granularity, and the part
+    count tracks total_rows / target instead of a fixed 2^bits."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayfts.ops.shuffle import write_shuffled
+
+    ids = np.arange(4000, dtype=np.int64)
+    want = _expected(ids, 7)
+    got = {r["doc_id"]: r["shuffle_rank"]
+           for r in shuffle_ranks(_ds(ids), seed=7).take_all()}
+    assert got == want
+
+    ds = _ds(ids, {"text": pa.array([f"doc {i}" for i in ids])})
+    out = str(tmp_path / "auto")
+    write_shuffled(ds, out, seed=7).take_all()
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    # 4000 rows / 64Ki target floors at the 2-chunk minimum
+    assert len(files) == 2
+    cat = pa.concat_tables([pq.read_table(f) for f in files])
+    assert cat["doc_id"].to_pylist() == sorted(
+        ids.tolist(), key=lambda i: want[i])
