@@ -974,9 +974,18 @@ def run_capstone(num_docs: int) -> dict:
     stages: dict[str, float] = {}
     t_all = time.time()
 
+    # checkpoint both stage boundaries: line_dedup consumes its input 3x
+    # and the capstone consumes `prepared` 4x (count, DSIR fit, pack,
+    # shuffled write) -- without parquet checkpoints the repetition gate
+    # would re-run 12x. This is also the resumable shape a real run has.
     t0 = time.time()
+    prep_out = _fresh_dir("capstone-prepared")
     prepared = prepare_corpus(corpus(), bench_ds, col="content",
-                              id_col="doc_id")
+                              id_col="doc_id",
+                              checkpoint_dir=_fresh_dir("capstone-gated"))
+    prepared.write_parquet(prep_out)
+    prepared = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(prep_out, "*.parquet"))))
     n_prepared = prepared.count()
     stages["prepare_corpus"] = round(time.time() - t0, 2)
 

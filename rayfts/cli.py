@@ -542,9 +542,14 @@ def cmd_prepare(args) -> int:
 
     out = prepare_corpus(_read_inputs(args.input), _read_inputs(args.bench),
                          col=args.col, id_col=args.id_col,
-                         min_docs=args.min_docs, k=args.k)
+                         min_docs=args.min_docs, k=args.k,
+                         checkpoint_dir=args.checkpoint_dir)
     out.write_parquet(args.out)
-    print(json.dumps({"out": args.out, "rows": out.count()}))
+    # count from the written files (metadata-only) -- counting the lazy
+    # pipeline would re-execute the whole chain a second time
+    import ray.data as _rd
+    print(json.dumps({"out": args.out,
+                      "rows": _rd.read_parquet(args.out).count()}))
     return 0
 
 
@@ -891,6 +896,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--id-col", default="doc_id")
     pr.add_argument("--min-docs", type=int, default=2)
     pr.add_argument("--k", type=int, default=8)
+    pr.add_argument("--checkpoint-dir", default=None,
+                    help="persist the gated corpus once so line dedup's "
+                         "three passes skip the repetition gate")
     pr.add_argument("--out", required=True)
     pr.set_defaults(fn=cmd_prepare)
 

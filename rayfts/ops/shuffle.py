@@ -78,13 +78,29 @@ def _chunk_offsets(ds, id_col: str, seed: int, chunk_bits: int | None,
         _h, chunk = _hash_chunk(ids, seed, shift)
         u, counts = np.unique(chunk, return_counts=True)
         return pa.table({"chunk": pa.array(u, type=pa.int64()),
-                         "s": pa.array(counts, type=pa.int64())})
+                         "s": pa.array(counts, type=pa.int64()),
+                         "part": pa.array((u % 64).astype(np.int32),
+                                          type=pa.int32())})
+
+    def fold_part(g: pa.Table) -> pa.Table:
+        # uniform 64-key exchange + one Arrow C++ group_by per partition:
+        # Ray's generic Aggregate degrades badly at 2^20 distinct chunk
+        # keys (per-block hash states merged key-wise), the fine
+        # granularity the auto path counts at
+        if g.num_rows == 0:
+            return pa.table({"chunk": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        agg = g.select(["chunk", "s"]).group_by("chunk").aggregate(
+            [("s", "sum")])
+        return pa.table({"chunk": agg["chunk"], "s": agg["s_sum"]})
 
     totals = (ds.select_columns([id_col])
-              .map_batches(partials, batch_format="pyarrow")
-              .groupby("chunk").sum("s").to_pandas()).sort_values("chunk")
+              .map_batches(partials, batch_format="pyarrow",
+                           batch_size=1 << 18)
+              .groupby("part").map_groups(fold_part, batch_format="pyarrow")
+              .to_pandas()).sort_values("chunk")
     chunks = totals["chunk"].to_numpy().astype(np.int64)
-    counts = totals["sum(s)"].to_numpy().astype(np.int64)
+    counts = totals["s"].to_numpy().astype(np.int64)
     if auto:
         total = int(counts.sum())
         coarse_bits = max(1, min(fine_bits, int(np.ceil(np.log2(

@@ -99,3 +99,36 @@ def test_pipeline_stays_lazy(ray_session):
     out = prepare_corpus(ds, _ds([(99, _filler(999))]))
     # Ray Datasets expose lazy plans; take(1) must work without error
     assert out.take(1)
+
+
+def test_checkpoint_dir_same_result_and_reused(ray_session, tmp_path):
+    """checkpoint_dir persists the gated corpus: identical output to the
+    unmaterialized plan; a complete checkpoint (marker + files) is
+    reused as-is; a marker without files is treated as stale."""
+    import os
+
+    a, b = _filler(1), _filler(2)
+    rows = [(1, f"{a}\nshared line"), (2, f"{b}\nshared line"),
+            (3, _filler(3))]
+    ck = str(tmp_path / "gated")
+    plain = _run(_ds(rows))
+    ckpt = _run(_ds(rows), checkpoint_dir=ck)
+    assert plain.keys() == ckpt.keys()
+    for k in plain:
+        assert plain[k]["text"] == ckpt[k]["text"]
+    marker = ck + ".done"
+    assert os.path.exists(marker)
+    files = sorted(os.listdir(ck))
+    assert files
+    # reuse: second run must not rewrite the checkpoint files
+    mtimes = [os.path.getmtime(os.path.join(ck, f)) for f in files]
+    again = _run(_ds(rows), checkpoint_dir=ck)
+    assert again.keys() == plain.keys()
+    assert [os.path.getmtime(os.path.join(ck, f))
+            for f in sorted(os.listdir(ck))] == mtimes
+    # stale marker (no files) is discarded and the checkpoint rebuilt
+    for f in files:
+        os.unlink(os.path.join(ck, f))
+    rebuilt = _run(_ds(rows), checkpoint_dir=ck)
+    assert rebuilt.keys() == plain.keys()
+    assert sorted(os.listdir(ck))
