@@ -56,7 +56,11 @@ def _edges(lo: float, hi: float, bins: int) -> np.ndarray:
     # divide-then-subtract: (hi - lo) overflows to inf for huge finite
     # ranges (e.g. +/-1e308) and would poison every edge with NaN
     w = hi / bins - lo / bins
-    e = lo + w * np.arange(bins + 1, dtype=np.float64)
+    with np.errstate(over="ignore"):
+        # lo + w*k can itself overflow near k=bins for huge ranges; the
+        # clip restores those edges to hi, the same on every process
+        e = lo + w * np.arange(bins + 1, dtype=np.float64)
+    np.clip(e, lo, hi, out=e)
     e[0], e[bins] = lo, hi
     return e
 
