@@ -971,18 +971,19 @@ def ngram_jaccard_pairs(
             "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
         })
 
-    if concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        concurrency = (1, max(2, cpus))
+    from rayfts.ops._stagecache import call_cached
+
+    # default = stateless task pool with a per-process instance cache
+    # (no actor ramp-up); an int concurrency only CAPS task parallelism
+    explode_kwargs = dict(batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        explode_kwargs["concurrency"] = concurrency
     return (
         ds.map_batches(
-            ShingleExplode,
-            fn_constructor_kwargs={"col": col, "id_col": id_col, "k": k,
-                                   "num_parts": num_parts},
-            batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+            call_cached,
+            fn_kwargs={"_cls": ShingleExplode, "col": col,
+                       "id_col": id_col, "k": k, "num_parts": num_parts},
+            **explode_kwargs,
         )
         .groupby("__sp")
         .map_groups(shingle_pairs, batch_format="pyarrow")

@@ -49,6 +49,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from rayfts.ops._stagecache import call_cached
 from rayfts.ops.dedup import (_JOIN_AGG_ARGS, _ShingleStage, _join_partitions,
                               _poly_powers)
 
@@ -65,14 +66,16 @@ def _doc_part(ids: np.ndarray, num_parts: int) -> np.ndarray:
 
 
 class WindowHashes(_ShingleStage):
-    """Actor-pool stage over full L-token windows. Three modes:
+    """Stage over full L-token windows, run as a stateless task pool
+    with one cached instance per worker process (``_stagecache``).
+    Three modes:
 
     - ``mode="partials"``: one row per DISTINCT window hash per batch —
       ``(h, mn, mx, cnt, part)`` (the qualify-pass pre-aggregation);
     - ``mode="rows"``: one row per window — ``(h, doc, pos)``;
     - ``mode="probe"``: one ``(doc, pos, dpart)`` row per window whose
       hash is in the broadcast qualifying set (``qual_ref``), fetched
-      ONCE per actor.
+      ONCE per worker process.
 
     Tokenization, the bounded per-unique-token md5 cache, and the
     polynomial window hash are shared with the shingle stages via
@@ -231,21 +234,18 @@ def duplicated_spans(
 
     if scope not in ("cross_doc", "any"):
         raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
-    if concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        concurrency = (1, cpus)
+    # default = stateless task pool (per-process instance cache); pass an
+    # int concurrency only to CAP task parallelism
     base_kwargs = {"col": col, "id_col": id_col, "min_len": min_len,
                    "num_parts": num_parts}
 
+    stage_kwargs = dict(batch_format="pyarrow", batch_size=4096)
+    if concurrency is not None:
+        stage_kwargs["concurrency"] = concurrency
     partials = ds.map_batches(
-        WindowHashes,
-        fn_constructor_kwargs={**base_kwargs, "mode": "partials"},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
+        call_cached,
+        fn_kwargs={"_cls": WindowHashes, **base_kwargs, "mode": "partials"},
+        **stage_kwargs,
     )
     # summary-sized and output-bounded: materialized once, read twice
     # (plan choice + probe/join input)
@@ -261,20 +261,16 @@ def duplicated_spans(
         qual_ref = ray.put(np.concatenate(chunks)
                            if chunks else np.empty(0, np.int64))
         hits = ds.map_batches(
-            WindowHashes,
-            fn_constructor_kwargs={**base_kwargs, "mode": "probe",
-                                   "qual_ref": qual_ref},
-            batch_format="pyarrow",
-            batch_size=4096,
-            concurrency=concurrency,
+            call_cached,
+            fn_kwargs={"_cls": WindowHashes, **base_kwargs, "mode": "probe",
+                       "qual_ref": qual_ref},
+            **stage_kwargs,
         )
     else:
         rows = ds.map_batches(
-            WindowHashes,
-            fn_constructor_kwargs={**base_kwargs, "mode": "rows"},
-            batch_format="pyarrow",
-            batch_size=4096,
-            concurrency=concurrency,
+            call_cached,
+            fn_kwargs={"_cls": WindowHashes, **base_kwargs, "mode": "rows"},
+            **stage_kwargs,
         )
         joined = rows.join(qual, "inner", _join_partitions(num_partitions),
                            on=("h",), aggregator_ray_remote_args=_JOIN_AGG_ARGS)

@@ -79,21 +79,23 @@ def term_stats_ds(
     """Lazy Dataset of (term, df, cf) over the corpus. Two-level reduce:
     salted partials -> per-(term,salt) sums -> per-term sums. Stays
     distributed — consume with sort/limit/write, never a driver collect."""
-    import ray
+    from rayfts.ops._stagecache import call_cached
 
-    if concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            cpus = 8
-        concurrency = (1, cpus)  # autoscale the tokenizer actor pool
-    partials = ds.map_batches(
-        TokenizePartials,
-        fn_constructor_kwargs={"col": col, "analyzer": analyzer, "salt_buckets": salt_buckets},
+    # default = stateless task pool with a per-process instance cache
+    # (cheap constructor, warm stem cache; no actor ramp-up on a short
+    # stage); pass an int concurrency only to CAP task parallelism
+    stage_kwargs = dict(
         batch_format="pyarrow",
         batch_size=8192,  # wide batches = strong pre-aggregation (a term
         # appears once per batch row-wise; Zipf vocab grows sublinearly)
-        concurrency=concurrency,
+    )
+    if concurrency is not None:
+        stage_kwargs["concurrency"] = concurrency
+    partials = ds.map_batches(
+        call_cached,
+        fn_kwargs={"_cls": TokenizePartials, "col": col,
+                   "analyzer": analyzer, "salt_buckets": salt_buckets},
+        **stage_kwargs,
     )
     # Reduce: hash-partition the partial rows on an int key (uniform by
     # construction -> skew-free even for stop words, whose partials are
@@ -102,7 +104,16 @@ def term_stats_ds(
     # costs two orders of magnitude more per row. The salt column further
     # subdivides a term across reducers when salt_buckets > 1 (extreme
     # corpus sizes where even one-row-per-batch partials overload a key).
-    num_reducers = max(8, int(concurrency[1] if isinstance(concurrency, tuple) else concurrency))
+    if concurrency is not None:
+        num_reducers = max(8, int(
+            concurrency[1] if isinstance(concurrency, tuple) else concurrency))
+    else:
+        import ray
+
+        try:
+            num_reducers = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_reducers = 8
 
     def fold(ds_in, df_col: str, cf_col: str, with_salt: bool):
         def tag(b: pa.Table) -> pa.Table:
