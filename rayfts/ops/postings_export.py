@@ -37,7 +37,7 @@ from rayfts.codec.varint import decode_varints, encode_varints, varint_lengths
 class TokenizeFragments:
     """Batch -> per-(batch, term) posting fragments.
 
-    Run as a STATELESS task-pool stage via :func:`_fragment_batch` (one
+    Run as a STATELESS task-pool stage via ``_stagecache.call_cached`` (one
     cached instance per worker process), not an actor pool: the stage is
     short (tens of batches), and an autoscaling actor pool spends most of
     the stage ramping up while a fixed pool of ``num_cpus`` actors
@@ -93,22 +93,6 @@ class TokenizeFragments:
             "docids": docids_arr,
             "tfs": tfs_arr,
         })
-
-
-# One TokenizeFragments per (params) per worker PROCESS: task-pool
-# workers are long-lived, so the analyzer's Zipf-warm stem cache
-# amortizes exactly as it would inside an actor.
-_FRAGMENTERS: dict[tuple, TokenizeFragments] = {}
-
-
-def _fragment_batch(batch: pa.Table, col: str, id_col: str,
-                    analyzer: str) -> pa.Table:
-    key = (col, id_col, analyzer)
-    st = _FRAGMENTERS.get(key)
-    if st is None:
-        st = _FRAGMENTERS[key] = TokenizeFragments(
-            col=col, id_col=id_col, analyzer=analyzer)
-    return st(batch)
 
 
 def _blob_column(stream: bytes, byte_offsets: np.ndarray) -> pa.Array:
@@ -246,14 +230,17 @@ def build_term_postings(
     with open(tmp_meta, "w") as f:
         json.dump(meta, f)
     os.replace(tmp_meta, meta_path)
+    from rayfts.ops._stagecache import call_cached
+
     frag_kwargs = dict(
-        fn_kwargs={"col": col, "id_col": id_col, "analyzer": analyzer},
+        fn_kwargs={"_cls": TokenizeFragments, "col": col,
+                   "id_col": id_col, "analyzer": analyzer},
         batch_format="pyarrow",
         batch_size=8192,
     )
     if concurrency is not None:
         frag_kwargs["concurrency"] = concurrency
-    frags = ds.map_batches(_fragment_batch, **frag_kwargs)
+    frags = ds.map_batches(call_cached, **frag_kwargs)
 
     def tag(b: pa.Table) -> pa.Table:
         import pandas as pd  # only the tag stage hashes via pandas;
