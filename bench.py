@@ -725,11 +725,13 @@ def _term_shuffle_reducer_sizes(files, salt_buckets: int, num_reducers: int = 32
     from rayfts.ops.termstats import TokenizePartials
 
     ds = ray.data.read_parquet(files)
+    from rayfts.ops._stagecache import call_cached
+
     partials = ds.map_batches(
-        TokenizePartials,
-        fn_constructor_kwargs={"col": "content", "analyzer": "en_stem",
-                               "salt_buckets": salt_buckets},
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 8),
+        call_cached,
+        fn_kwargs={"_cls": TokenizePartials, "col": "content",
+                   "analyzer": "en_stem", "salt_buckets": salt_buckets},
+        batch_format="pyarrow", batch_size=8192,
     )
 
     def tag(b: pa.Table) -> pa.Table:
@@ -806,12 +808,14 @@ def _substr_partials_stats(files) -> dict:
 
     ds = ray.data.read_parquet(files).map_batches(
         add_row_id, batch_format="pyarrow")
+    from rayfts.ops._stagecache import call_cached
+
     partials = ds.map_batches(
-        WindowHashes,
-        fn_constructor_kwargs={"col": "content", "id_col": "bench_row",
-                               "min_len": 8, "num_parts": 64,
-                               "mode": "partials"},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        call_cached,
+        fn_kwargs={"_cls": WindowHashes, "col": "content",
+                   "id_col": "bench_row", "min_len": 8, "num_parts": 64,
+                   "mode": "partials"},
+        batch_format="pyarrow", batch_size=4096,
     )
     counts = (partials.map_batches(keyed, batch_format="pyarrow")
               .groupby("part").count())
