@@ -13,9 +13,10 @@ stateless ``map_batches``; the wide steps are groupbys on uniformly-
 distributed hash keys (content hash / band hash / pair hash), so no
 skew; near-dup verification is fully distributed — candidate pairs are
 deduped by hash-partitioned unique and their shingle sets attached by
-Ray hash joins, so neither pairs nor texts ever materialize on the
-driver; exact-dedup row recovery picks broadcast-semi-join vs
-partitioned-join by kept-set size.
+uniform partition reduces (``rayfts/ops/pjoin.py`` — the repo is
+``Dataset.join``-free end to end), so neither pairs nor texts ever
+materialize on the driver; exact-dedup row recovery picks broadcast
+semi-join vs a partitioned reduce by kept-set size.
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from rayfts.ops.pjoin import _mix_mod, semi_join_partitioned
 from rayfts.ops.textstats import _token_hashes, _tokens
 
 # -- exact -----------------------------------------------------------------
@@ -92,17 +94,21 @@ def exact_dedup(
     - **broadcast semi-join** (kept set small): ``ray.put`` the sorted id
       array once, probe per batch with ``searchsorted`` — zero shuffle of
       the corpus;
-    - **partitioned hash join** (default above ``broadcast_limit`` kept
-      ids): ``ds.join(kept_ids)`` — the kept set never touches the
-      driver, at the cost of one corpus shuffle.
+    - **partitioned reduce** (default above ``broadcast_limit`` kept
+      ids): the classic hash-partition-per-group-first plan — per-batch
+      combiner, one sort-based ``groupby`` exchange on a uniform
+      sha-partition key, min-id row kept per sha inside each partition
+      group (vectorized run-boundary take, no per-group Python). One
+      corpus scan, one exchange, no ``Dataset.join`` (Ray 2.49's
+      hash-shuffle join aggregators are the repo's only flaky operator;
+      see ``rayfts/ops/pjoin.py``).
 
-    ``broadcast=None`` streams the kept ids once and switches to the join
-    plan only if the stream exceeds ``broadcast_limit`` (re-running the
-    tiny aggregate in that rare case) — the common path stays one pass."""
+    ``broadcast=None`` streams the kept ids once and switches to the
+    partitioned plan only if the stream exceeds ``broadcast_limit`` —
+    the common path stays one pass."""
     kept = exact_dedup_ids(ds, col, id_col)
     if broadcast is False:
-        return ds.join(kept, "inner", _join_partitions(num_partitions),
-                       on=(id_col,), aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+        return _exact_dedup_partitioned(ds, col, id_col, num_partitions)
 
     chunks: list[np.ndarray] = []
     total = 0
@@ -111,11 +117,7 @@ def exact_dedup(
         chunks.append(arr)
         total += arr.size
         if broadcast is None and total > broadcast_limit:
-            return ds.join(
-                exact_dedup_ids(ds, col, id_col), "inner",
-                _join_partitions(num_partitions),
-                on=(id_col,), aggregator_ray_remote_args=_JOIN_AGG_ARGS,
-            )
+            return _exact_dedup_partitioned(ds, col, id_col, num_partitions)
     ids = np.sort(np.concatenate(chunks or [np.empty(0, np.int64)]))
     ids_ref = ray.put(ids)
 
@@ -128,6 +130,35 @@ def exact_dedup(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _exact_dedup_partitioned(ds, col: str, id_col: str,
+                             num_partitions: int | None = None):
+    """Hash-partition + per-group-first exact dedup: sha the content,
+    shrink with the per-batch combiner, tag a uniform partition id from
+    the sha prefix, then ONE sort-based ``groupby`` exchange whose
+    reduce keeps the min-``id_col`` FULL row per sha (vectorized sort +
+    run-boundary take per partition group). Join-free by design; raise
+    ``num_partitions`` with cluster size to bound per-reduce memory."""
+    num_parts = num_partitions or 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        parts = [int(s[:15], 16) % num_parts
+                 for s in b["__sha"].to_numpy(zero_copy_only=False)]
+        return b.append_column("__pp", pa.array(np.asarray(parts, np.int32)))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["__sha", "__pp"])
+        return _combine_min_per_sha(g, id_col).drop_columns(["__sha", "__pp"])
+
+    return (
+        ds.map_batches(lambda b: add_sha_batch(b, col), batch_format="pyarrow")
+        .map_batches(lambda b: _combine_min_per_sha(b, id_col), batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
 
 
 # -- minhash LSH -----------------------------------------------------------
@@ -425,28 +456,6 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
-# Ray hash-join aggregator actors default to reserving 50% of cluster CPUs
-# PER JOIN; a pipeline with several joins would reserve everything and
-# deadlock the map tasks that feed it. Fractional reservations keep the
-# aggregators (I/O-light accumulators) cheap and the CPUs with the
-# compute stages.
-_JOIN_AGG_ARGS = {"num_cpus": 0.25}
-
-
-def _join_partitions(requested: int | None = None) -> int:
-    """Join partition count bounded by cluster CPUs: Ray spawns one
-    aggregator actor per partition (up to the configured max), and an
-    aggregator pool larger than the cluster cannot even start. On a big
-    cluster pass ``requested`` higher to bound per-partition memory."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    if requested is None:
-        return max(2, cpus)
-    return max(2, min(requested, cpus))
-
-
 def dedup_pairs_partitioned(pairs_ds, num_parts: int = 64, sort_cols=("id_a", "id_b")):
     """Globally drop duplicate (id_a, id_b) rows WITHOUT driver collection:
     hash-partition on the pair key (uniform — the ids are arbitrary but the
@@ -558,7 +567,7 @@ def minhash_dedup_pairs(
     # hard byte budget for the broadcast blob map: pair count alone does
     # not bound blob size (250k pairs over very long documents can still
     # exhaust the driver), so accumulation is metered and falls over to
-    # the partitioned-join plan mid-build if the budget is exceeded
+    # the partitioned-reduce plan mid-build if the budget is exceeded
     broadcast_bytes_budget: int = 512 << 20,
 ):
     """Full near-dup pipeline -> Dataset(id_a, id_b, jaccard):
@@ -574,11 +583,13 @@ def minhash_dedup_pairs(
          ``ray.put`` once; one stateless corpus pass computes candidate
          shingle blobs; verification maps over the pair Dataset with the
          broadcast blob map. No shuffle, no join actors.
-       - **partitioned joins** (huge candidate sets): candidate ids are
-         deduped distributively and hash-joined against the corpus, then
-         two pair-side joins attach each side's blob; nothing touches
-         the driver. The corpus crosses the shuffle once (id+text
-         columns only).
+       - **partitioned reduces** (huge candidate sets): candidate ids
+         are deduped distributively, candidate texts recovered by a
+         partitioned semi-join (``rayfts/ops/pjoin.py``), and each
+         side's blob attached by a two-exchange pair-halves reduce
+         (:func:`_verify_pairs_partitioned`); nothing touches the
+         driver and no ``Dataset.join`` runs. The corpus crosses the
+         shuffle once (id+text columns only).
     """
     # Task pool (not actors): _bands_task_fn keeps a warm per-worker
     # stage, so there is no actor cold-start and the streaming executor
@@ -673,44 +684,162 @@ def minhash_dedup_pairs(
 
         return pairs.map_batches(verify_bc, batch_format="pyarrow")
 
-    num_partitions = _join_partitions(num_partitions)
-    cand = ds.select_columns([id_col, col]).join(
-        _needed_ids_ds(pairs), "inner", num_partitions,
-        on=(id_col,), right_on=("need_id",),
-        aggregator_ray_remote_args=_JOIN_AGG_ARGS,
+    # Partitioned fall-over, entirely join-free (see rayfts/ops/pjoin.py):
+    # 1. candidate texts via a partitioned semi-join of the corpus against
+    #    the (distinct) pair-referenced ids — one corpus exchange, exactly
+    #    what the former hash join moved;
+    # 2. blobs attached to pair halves and verified by two uniform
+    #    sort-based partition reduces.
+    num_parts = num_partitions or 64
+    cand = semi_join_partitioned(
+        ds.select_columns([id_col, col]),
+        _needed_ids_ds(pairs),
+        left_key=id_col,
+        right_key="need_id",
+        left_schema={id_col: pa.int64(), col: pa.large_string()},
+        num_parts=num_parts,
     )
-    # materialized (object store, not driver): referenced by BOTH pair-side
-    # joins — lazy it would re-run the corpus join twice
-    cand_sh = cand.map_batches(shingle_blobs, batch_format="pyarrow").materialize()
+    cand_sh = cand.map_batches(shingle_blobs, batch_format="pyarrow")
+    return _verify_pairs_partitioned(pairs, cand_sh, id_col, threshold,
+                                     num_parts)
 
-    j = pairs.join(cand_sh, "inner", num_partitions,
-                   on=("id_a",), right_on=(id_col,),
-                   aggregator_ray_remote_args=_JOIN_AGG_ARGS)
-    j = j.map_batches(
-        lambda b: b.rename_columns(
-            ["__sh_a" if c == "__sh" else c for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    j = j.join(cand_sh, "inner", num_partitions,
-               on=("id_b",), right_on=(id_col,),
-               aggregator_ray_remote_args=_JOIN_AGG_ARGS)
 
-    def verify(b: pa.Table) -> pa.Table:
-        a_ids = b["id_a"].to_numpy(zero_copy_only=False)
-        b_ids = b["id_b"].to_numpy(zero_copy_only=False)
+def _verify_pairs_partitioned(pairs, blobs, id_col: str, threshold: float,
+                              num_parts: int):
+    """Exact-Jaccard verification of candidate pairs with the blob table
+    attached by partition reduces instead of hash joins:
+
+    - exchange 1 (keyed by each half's referenced id): pair HALF rows
+      ``(ref, mate, is_a)`` union the blob rows ``(id, __sh)``; inside
+      each partition group a vectorized ``searchsorted`` attaches every
+      half's blob;
+    - exchange 2 (keyed by the pair): the two halves of each pair
+      reunite; a run-boundary scan pairs them and the Jaccard filter
+      emits ``(id_a, id_b, jaccard)``.
+
+    Both exchanges are uniform (golden-mixed ids / pair keys), move
+    blob-sized payloads exactly once, and run on the sort-based groupby
+    path — no ``HashShuffleAggregator`` anywhere."""
+
+    def halves(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ref = np.concatenate([a, bb])
+        mate = np.concatenate([bb, a])
+        is_a = np.concatenate(
+            [np.ones(a.size, np.int8), np.zeros(bb.size, np.int8)])
+        return pa.table({
+            "ref": pa.array(ref),
+            "mate": pa.array(mate),
+            "is_a": pa.array(is_a),
+            "__sh": pa.nulls(ref.size, pa.large_binary()),
+            "src": pa.array(np.zeros(ref.size, np.int8)),
+            "__pp": pa.array(_mix_mod(ref, num_parts)),
+        })
+
+    def blob_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = b["__sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        return pa.table({
+            "ref": pa.array(ids),
+            "mate": pa.nulls(ids.size, pa.int64()),
+            "is_a": pa.nulls(ids.size, pa.int8()),
+            "__sh": sh.cast(pa.large_binary()),
+            "src": pa.array(np.ones(ids.size, np.int8)),
+            "__pp": pa.array(_mix_mod(ids, num_parts)),
+        })
+
+    def _empty_attached() -> pa.Table:
+        return pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "is_a": pa.array([], pa.int8()),
+            "__sh": pa.array([], pa.large_binary()),
+            "__pp2": pa.array([], pa.int32()),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        bl = g.filter(pa.array(src == 1))
+        hv = g.filter(pa.array(src == 0))
+        if hv.num_rows == 0 or bl.num_rows == 0:
+            return _empty_attached()
+        bid = bl["ref"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bid, kind="stable")
+        bid_sorted = bid[order]
+        refs = hv["ref"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(bid_sorted, refs)
+        pos[pos >= bid_sorted.size] = 0
+        m = bid_sorted[pos] == refs
+        if not m.any():
+            return _empty_attached()
+        hv = hv.filter(pa.array(m))
+        sh_arr = bl["__sh"]
+        if isinstance(sh_arr, pa.ChunkedArray):
+            sh_arr = sh_arr.combine_chunks()
+        taken = sh_arr.take(pa.array(order[pos[m]]))
+        is_a = hv["is_a"].to_numpy(zero_copy_only=False).astype(bool)
+        ref = hv["ref"].to_numpy(zero_copy_only=False)
+        mate = hv["mate"].to_numpy(zero_copy_only=False)
+        id_a = np.where(is_a, ref, mate)
+        id_b = np.where(is_a, mate, ref)
+        with np.errstate(over="ignore"):
+            pk = ((id_a.astype(np.uint64) * _GOLDEN)
+                  ^ (id_b.astype(np.uint64) * _GOLDEN >> np.uint64(32)))
+        return pa.table({
+            "id_a": pa.array(id_a),
+            "id_b": pa.array(id_b),
+            "is_a": pa.array(is_a.astype(np.int8)),
+            "__sh": taken,
+            "__pp2": pa.array((pk % np.uint64(num_parts)).astype(np.int32)),
+        })
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _empty_pairs()
+        order = pc.sort_indices(g, sort_keys=[
+            ("id_a", "ascending"), ("id_b", "ascending"),
+            ("is_a", "ascending")])
+        t = g.take(order)
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b2 = t["id_b"].to_numpy(zero_copy_only=False)
+        same_next = np.zeros(a.size, bool)
+        same_next[:-1] = (a[:-1] == a[1:]) & (b2[:-1] == b2[1:])
+        start = np.flatnonzero(same_next)
+        if start.size == 0:
+            return _empty_pairs()
+        sh = t["__sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        blobs_py = sh.to_pylist()
         jac = np.array([
-            _jaccard_from_blobs(ba, bb)
-            for ba, bb in zip(b["__sh_a"].to_pylist(), b["__sh"].to_pylist())
+            _jaccard_from_blobs(blobs_py[i], blobs_py[i + 1]) for i in start
         ])
         keep = jac >= threshold
         return pa.table({
-            "id_a": pa.array(a_ids[keep], type=pa.int64()),
-            "id_b": pa.array(b_ids[keep], type=pa.int64()),
+            "id_a": pa.array(a[start][keep], type=pa.int64()),
+            "id_b": pa.array(b2[start][keep], type=pa.int64()),
             "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
         })
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    half_rows = pairs.map_batches(halves, batch_format="pyarrow")
+    blob_tagged = blobs.map_batches(blob_rows, batch_format="pyarrow")
+    attached = (
+        half_rows.union(blob_tagged)
+        .groupby("__pp")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return attached.groupby("__pp2").map_groups(
+        finish, batch_format="pyarrow")
 
 
 # -- simhash ---------------------------------------------------------------

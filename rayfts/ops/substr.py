@@ -50,8 +50,8 @@ import pandas as pd
 import pyarrow as pa
 
 from rayfts.ops._stagecache import call_cached
-from rayfts.ops.dedup import (_JOIN_AGG_ARGS, _ShingleStage, _join_partitions,
-                              _poly_powers)
+from rayfts.ops.dedup import _ShingleStage, _poly_powers
+from rayfts.ops.pjoin import semi_join_partitioned
 
 __all__ = [
     "WindowHashes",
@@ -272,8 +272,14 @@ def duplicated_spans(
             fn_kwargs={"_cls": WindowHashes, **base_kwargs, "mode": "rows"},
             **stage_kwargs,
         )
-        joined = rows.join(qual, "inner", _join_partitions(num_partitions),
-                           on=("h",), aggregator_ray_remote_args=_JOIN_AGG_ARGS)
+        # join-free membership filter: one uniform sort-groupby exchange of
+        # the window rows against the (output-bounded) qualifying hashes
+        joined = semi_join_partitioned(
+            rows, qual, left_key="h", right_key="h",
+            left_schema={"h": pa.int64(), id_col: pa.int64(),
+                         "pos": pa.int64()},
+            num_parts=num_partitions or 64,
+        )
 
         def tag_doc(b: pa.Table) -> pa.Table:
             ids = b[id_col].to_numpy(zero_copy_only=False)

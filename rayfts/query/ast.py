@@ -112,6 +112,21 @@ def from_dsl(obj) -> Query:
         raise QueryParseError(f"malformed query DSL: {obj!r} ({e})") from e
 
 
+def _bool_clauses(v) -> list:
+    """Coerce a bool clause value to a clause list. A single dict or
+    string clause is accepted as a one-element list; iterating any other
+    scalar would silently walk dict keys / string chars and produce
+    nonsense nodes (e.g. ``{"must": {"term": ""}}`` used to become
+    ``Raw('term')``, unexecutable downstream)."""
+    if v is None:
+        return []
+    if isinstance(v, (dict, str)):
+        return [v]
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    raise QueryParseError(f"bool clauses must be a list, got {v!r}")
+
+
 def _from_dsl(obj) -> Query:
     if obj == "all" or obj is None:
         return All()
@@ -125,9 +140,9 @@ def _from_dsl(obj) -> Query:
         return Term(field, str(value))
     if kind == "bool":
         return Bool(
-            must=[from_dsl(q) for q in body.get("must", [])],
-            must_not=[from_dsl(q) for q in body.get("must_not", [])],
-            should=[from_dsl(q) for q in body.get("should", [])],
+            must=[from_dsl(q) for q in _bool_clauses(body.get("must"))],
+            must_not=[from_dsl(q) for q in _bool_clauses(body.get("must_not"))],
+            should=[from_dsl(q) for q in _bool_clauses(body.get("should"))],
         )
     if kind == "phrase":
         (field, spec), = body.items()

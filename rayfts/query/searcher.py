@@ -140,11 +140,23 @@ class Searcher:
             return self.parser.parse(q)
         if isinstance(q, dict):
             q = from_dsl(q)
+        return self._resolve_raw(q)
+
+    def _resolve_raw(self, q: Query) -> Query:
+        """Recursively replace Raw nodes — a bare string is legal DSL at
+        ANY depth (``{"bool": {"must": ["hello world"]}}``), so Bool
+        children need the same string-grammar fallback as the top level."""
         if isinstance(q, Raw):
             # raw falls back to the string grammar; the reference uses ALL
             # schema fields as defaults there (search.rs:52-59), quirk kept
             p = QueryParser(self.schema, compat_break=False)
             return p.parse(q.query)
+        if isinstance(q, Bool):
+            return Bool(
+                must=[self._resolve_raw(m) for m in q.must],
+                must_not=[self._resolve_raw(m) for m in q.must_not],
+                should=[self._resolve_raw(m) for m in q.should],
+            )
         return q
 
     # -- core top-k ----------------------------------------------------

@@ -55,7 +55,7 @@ def test_minhash_finds_planted_near_dup(ray_session):
         "doc_id": pa.array([1, 2, 3], type=pa.int64()),
         "text": pa.array([a, b, c]),
     }))
-    for bc in (None, False):  # auto-broadcast AND the partitioned-join plan
+    for bc in (None, False):  # auto-broadcast AND the partitioned-reduce plan
         pairs_ds = minhash_dedup_pairs(ds, threshold=0.5, bands=16, num_perm=64,
                                        broadcast=bc)
         rows = pairs_ds.take_all()  # Dataset out: no driver step inside the op
@@ -470,7 +470,7 @@ def test_analyzer_stem_cache_capped():
 def test_minhash_broadcast_byte_budget_falls_over(ray_session):
     """A byte budget the pair count cannot see: broadcast is selected by
     count, but long-document blobs exceed broadcast_bytes_budget mid-build
-    and the op falls over to the partitioned-join plan with identical
+    and the op falls over to the partitioned-reduce plan with identical
     results (ADVICE r2)."""
     from rayfts.ops.dedup import minhash_dedup_pairs
 

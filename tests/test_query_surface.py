@@ -437,6 +437,36 @@ def test_parser_fuzz_never_crashes(idx):
     check2()
 
 
+def test_bool_clause_dict_is_typed_error(idx):
+    """A dict (or other non-list scalar) as a bool clause value must be a
+    single clause or a typed parse error — iterating it used to walk the
+    dict's KEYS and build an unexecutable nested Raw('term') that escaped
+    as TypeError at execute time (hypothesis-found)."""
+    from rayfts.query.parser import QueryParseError
+
+    s = idx.searcher()
+    with pytest.raises(QueryParseError):
+        s.search({"query": {"bool": {"must": {"term": ""}}}, "limit": 3})
+    with pytest.raises(QueryParseError):
+        s.search({"query": {"bool": {"should": 7}}, "limit": 3})
+    # a single well-formed dict clause is accepted as a one-element list
+    one = s.search({"query": {"bool": {"must": {"term": {"body": "beta"}}}},
+                    "limit": 3})
+    lst = s.search({"query": {"bool": {"must": [{"term": {"body": "beta"}}]}},
+                    "limit": 3})
+    assert [d.doc_id for d in one.docs] == [d.doc_id for d in lst.docs]
+
+
+def test_nested_raw_string_resolves(idx):
+    """A bare string is legal DSL at any depth: inside a bool clause it
+    falls back to the string grammar exactly like a top-level raw."""
+    s = idx.searcher()
+    nested = s.search({"query": {"bool": {"must": ["beta"]}}, "limit": 3})
+    top = s.search({"query": "beta", "limit": 3})
+    assert [d.doc_id for d in nested.docs] == [d.doc_id for d in top.docs]
+    assert nested.hits
+
+
 def test_invalid_regex_pattern_is_typed(idx):
     """An RE2-invalid pattern raises QueryError (not ArrowInvalid) so the
     bulk-serving error policy can swallow the row instead of the batch."""
