@@ -66,6 +66,32 @@ def test_semi_join_casts_string_to_large_string(ray_session):
     assert tbl.num_rows == 1
 
 
+def test_semi_join_negative_keys(ray_session):
+    # negative int64 keys must mix and probe correctly (uint64 wraparound
+    # in _mix_mod is deliberate; the probe compares in int64 space)
+    out = semi_join_partitioned(
+        _left([-3, -2, -1, 0], ["a", "b", "c", "d"]), _keys([-2, 0]),
+        left_key="doc_id", right_key="need_id",
+        left_schema=SCHEMA, num_parts=4,
+    ).take_all()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == [
+        (-2, "b"), (0, "d")]
+
+
+def test_semi_join_randomized_matches_isin(ray_session):
+    rng = np.random.default_rng(7)
+    ids = rng.integers(-(2**40), 2**40, size=10_000, dtype=np.int64)
+    keys = rng.choice(ids, size=3_000, replace=True)
+    keys[:500] = rng.integers(2**41, 2**42, size=500)  # guaranteed misses
+    out = semi_join_partitioned(
+        _left(ids.tolist(), [str(i) for i in ids]), _keys(keys.tolist()),
+        left_key="doc_id", right_key="need_id",
+        left_schema=SCHEMA, num_parts=16,
+    ).take_all()
+    expect = sorted(int(i) for i in ids[np.isin(ids, keys)])
+    assert sorted(r["doc_id"] for r in out) == expect
+
+
 def test_mix_mod_uniform_and_stable():
     ids = np.arange(100_000, dtype=np.int64)  # worst case: sequential keys
     parts = _mix_mod(ids, 64)
